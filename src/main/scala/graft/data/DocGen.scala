@@ -1,0 +1,95 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Deterministic derivation of the interleaved docs table
+  * (`doc_id:string, spans:array<struct<kind,text,media_ref,offset>>`)
+  * from the driver's read-only lineitem parquet, with targeted
+  * invalidations on fixed modulus predicates — the Spark analog of the
+  * reference's generator + `Invalidators` round-trip test pattern
+  * (/root/reference/impl/src/test/scala/de/dnpm/dip/mtb/validation/impl/
+  * Invalidators.scala:22-111: dangling refs, bad codes, inverted periods,
+  * format breaks).
+  *
+  * Every injection is a pure function of `l_orderkey`, so the expected
+  * violation set is ANSI-SQL-expressible for the DuckDB oracle.
+  *
+  * Injection predicates (ok = l_orderkey):
+  *   ok%89=0  -> span0.kind = NULL          (presence break)
+  *   ok%83=0  -> span1.kind = 'blob'        (vocabulary break)
+  *   ok%79=0  -> span1.media_ref = 'x...'   (dangling FK)
+  *   ok%97=0  -> span2.offset = 5           (ordering break: 0,10,5)
+  *   ok%73=0  -> span0.text lowercased      (format break, ^[A-Z]{2}$)
+  *   ok%71=0  -> spans = []                 (cardinality break; wins last)
+  *   ok%67=0  -> span1.text = 'leak'        (cross-field break)
+  *   ok%61=0  -> span2.text = '999'         (range break, [1,50])
+  *
+  * doc_id duplicates need no injection: the synthetic lineitem already
+  * contains repeated (l_orderkey, l_linenumber) pairs, so the docs feed has
+  * natural duplicate doc_ids for the uniqueness check.
+  */
+object DocGen {
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  /** One doc per lineitem row; three interleaved spans (text, media, text). */
+  def docs(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+    val ok = col("l_orderkey")
+    val pkmod = (col("l_partkey") % 1000).cast("string")
+    val flagText = concat(col("l_returnflag"), col("l_linestatus"))
+
+    val s0 = struct(
+      when(ok % 89 === 0, lit(null).cast("string")).otherwise(lit("text")).as("kind"),
+      when(ok % 73 === 0, lower(flagText)).otherwise(flagText).as("text"),
+      lit(null).cast("string").as("media_ref"),
+      lit(0).as("offset"))
+
+    val s1 = struct(
+      when(ok % 83 === 0, lit("blob")).otherwise(lit("media")).as("kind"),
+      when(ok % 67 === 0, lit("leak")).otherwise(lit(null).cast("string")).as("text"),
+      when(ok % 79 === 0, concat(lit("x"), pkmod))
+        .otherwise(concat(lit("m"), pkmod)).as("media_ref"),
+      lit(10).as("offset"))
+
+    val s2 = struct(
+      lit("text").as("kind"),
+      when(ok % 61 === 0, lit("999"))
+        .otherwise(col("l_quantity").cast("int").cast("string")).as("text"),
+      lit(null).cast("string").as("media_ref"),
+      when(ok % 97 === 0, lit(5)).otherwise(lit(20)).as("offset"))
+
+    li.select(
+      concat(ok.cast("string"), lit("-"), col("l_linenumber").cast("string")).as("doc_id"),
+      when(ok % 71 === 0, array().cast(Schemas.spanArray))
+        .otherwise(array(s0, s1, s2)).as("spans"))
+  }
+
+  /** Media catalog dimension: every valid media_ref + its media kind.
+    * Referential target for span.media_ref (the analog of the reference's
+    * resolver map at MTBValidators.scala:669-678). */
+  def mediaCatalog(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    val res = col("p_partkey") % 1000
+    part
+      .select(
+        concat(lit("m"), res.cast("string")).as("media_ref"),
+        element_at(
+          typedLit(Seq("image", "audio", "video")), (res % 3 + 1).cast("int")
+        ).as("media_kind"))
+      .distinct()
+  }
+
+  /** Collected catalog as a driver-side map for the broadcast row-local
+    * membership path (dimension is small; the join-based path for large
+    * catalogs lives in engine.Referential). */
+  def mediaCatalogMap(spark: SparkSession, sfDir: String): Map[String, String] =
+    mediaCatalog(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** Closed kind vocabulary (the `CodedEnum` analog, MTBValidators.scala:62-65). */
+  val kindVocab: Seq[String] = Seq("text", "media")
+}

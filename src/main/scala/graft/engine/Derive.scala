@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group derivations mirroring the reference's non-predicate operators:
+  * argmax-per-group (V30 lastResponsesByTherapy, MTBValidators.scala:686-692),
+  * coalesce censoring cascades (V5/V6, :159-208), conditional set-folds
+  * (V33 sequenceTypes, MTBMVHServiceImpl.scala:51-76) and the quarterly
+  * report aggregation (V34, :78-84).
+  */
+object Derive {
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  /** Latest event per user — deterministic argmax via row_number over
+    * (ts DESC, event_id DESC). Window shuffles once on user_id; at scale
+    * this is the standard argmax shape (no driver collect). */
+  def latestEventPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "ts", "value")
+  }
+
+  /** Censoring cascade per order: coalesce(latest 'returned' ship date,
+    * latest ship date, order date) — the V5 dateOfDeathOrCensoring shape.
+    * Aggregate lineitem first (map-side combine), then join orders. */
+  def censorDatePerOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val agg = li.groupBy("l_orderkey").agg(
+      max(when(col("l_returnflag") === "R", col("l_shipdate"))).as("last_returned"),
+      max(col("l_shipdate")).as("last_shipped"))
+    orders
+      .join(agg, orders("o_orderkey") === agg("l_orderkey"), "left")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("last_returned"), col("last_shipped"), col("o_orderdate"))
+          .as("censor_ts"))
+  }
+
+  /** Conditional set-fold per user: which event categories the user has,
+    * folded into a canonical comma-joined set (V33's {DNA}/{RNA} fold). */
+  def eventTypeSetPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val flags = types.map(t =>
+      max(when(col("event_type") === t, 1).otherwise(0)).as(s"has_$t"))
+    events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(flags.head, flags.tail: _*)
+      .select(
+        col("user_id"),
+        concat_ws(",", types.map(t =>
+          when(col(s"has_$t") === 1, lit(t))): _*).as("type_set"))
+  }
+
+  /** Quarterly report aggregation (V34): counts + value totals per
+    * (year, quarter, event_type); doubles rounded to whole units so the
+    * result is summation-order independent. */
+  def quarterlyReport(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(
+        year(col("ts")).as("yr"),
+        quarter(col("ts")).as("qtr"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value"))).cast("long").as("value_sum"))
+}

@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift checks: PSI and KS statistic between a baseline and a
+  * current population, computed from fixed-width histogram bucket counts
+  * (north_star: "distribution-drift checks (PSI/KS) against a baseline stats
+  * snapshot ... run as a single wide aggregate per partition").
+  *
+  * Scale shape: one groupBy over <=nBuckets derived keys (partial agg means
+  * each task emits <=nBuckets rows), then the PSI/KS arithmetic runs on a
+  * <=nBuckets-row frame — driver-negligible, shuffle-negligible. The
+  * single-partition window below orders at most nBuckets rows.
+  */
+object Drift {
+
+  /** `df` must expose a numeric `valueCol` and `isCurrent` (boolean Column
+    * splitting current vs baseline). Laplace smoothing (+0.5 per bucket,
+    * +nBuckets/2 per total) keeps PSI finite on empty buckets.
+    * Returns two rows: (metric in {psi, ks}, value rounded to 6dp). */
+  def psiKs(df: DataFrame, valueCol: String, isCurrent: Column,
+            width: Double, nBuckets: Int): DataFrame = {
+    val bucket = least(greatest(floor(col(valueCol) / width), lit(0)), lit(nBuckets - 1))
+      .cast("long").as("bucket")
+    val counts = df
+      .select(bucket, isCurrent.cast("int").as("cur"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("cur") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("cur") === 1, 1L).otherwise(0L)).as("cb"))
+    val whole = Window.partitionBy(lit(1))
+    val ordered = Window.partitionBy(lit(1)).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = counts
+      .withColumn("na", sum("ca").over(whole))
+      .withColumn("nb", sum("cb").over(whole))
+      .withColumn("pa", (col("ca") + 0.5) / (col("na") + nBuckets * 0.5))
+      .withColumn("pb", (col("cb") + 0.5) / (col("nb") + nBuckets * 0.5))
+      .withColumn("cuma", sum("ca").over(ordered) / col("na"))
+      .withColumn("cumb", sum("cb").over(ordered) / col("nb"))
+    val psi = e.agg(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))).as("v"))
+      .select(lit("psi").as("metric"), round(col("v"), 6).as("value"))
+    val ks = e.agg(max(abs(col("cuma") - col("cumb"))).as("v"))
+      .select(lit("ks").as("metric"), round(col("v"), 6).as("value"))
+    psi.unionAll(ks)
+  }
+}

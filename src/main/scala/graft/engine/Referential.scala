@@ -1,0 +1,34 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity check between span media_refs and the media
+  * catalog, join-strategy chosen BY SIZE (north_star requirement): broadcast
+  * hash anti-join for small catalogs, sort-merge anti-join for large ones —
+  * the set-at-a-time analog of the reference's per-record resolver lookups
+  * (MTBValidators.scala:563-567,669-678).
+  */
+object Referential {
+
+  /** Catalog row-count threshold below which we broadcast. At 100 TB the
+    * catalog row count is known from table metadata; here we ask the
+    * DataFrame directly (cheap on a dimension). */
+  val broadcastMaxRows = 1000000L
+
+  /** All (doc_id, media_ref) pairs whose media_ref does not resolve.
+    * Explodes only the media_ref field (narrowest possible generator input)
+    * and anti-joins against the catalog. */
+  def dangling(docs: DataFrame, catalog: DataFrame,
+               catalogRows: Option[Long] = None): DataFrame = {
+    val refs = docs
+      .select(col("doc_id"),
+        explode(filter(col("spans"), s => s.getField("media_ref").isNotNull)).as("s"))
+      .select(col("doc_id"), col("s.media_ref").as("media_ref"))
+    val dim = catalog.select(col("media_ref"))
+    val n = catalogRows.getOrElse(dim.count())
+    val right = if (n <= broadcastMaxRows) broadcast(dim) else dim
+    refs.join(right, Seq("media_ref"), "left_anti")
+      .select(col("doc_id"), col("media_ref"))
+  }
+}

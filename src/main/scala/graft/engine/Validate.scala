@@ -1,0 +1,58 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.data.DocGen
+import graft.rules.{CoreRules, RuleSet}
+
+/** The main validation path: read -> one narrow projection computing the
+  * whole violations array + verdict per doc -> violations/verdicts outputs.
+  *
+  * Spark rebuild of `service ! Validate(...)` (MTBValidationServiceImpl
+  * .scala:40-46): the applicative per-record fold becomes a single
+  * whole-stage-codegen projection — zero shuffles, zero UDFs, no explode
+  * until the violations table is materialized.
+  */
+object Validate {
+
+  /** docs + `violations` array column (row-local; catalog broadcast as a
+    * map literal). */
+  def withViolations(docs: DataFrame, catalog: Map[String, String]): DataFrame =
+    docs.withColumn("violations",
+      RuleSet.violationsArray(CoreRules.all(catalog, DocGen.kindVocab)))
+
+  /** Flat violations table (doc_id, rule_id, severity, path, message). */
+  def violations(docs: DataFrame, catalog: Map[String, String]): DataFrame =
+    withViolations(docs, catalog)
+      .select(col("doc_id"), explode(col("violations")).as("v"))
+      .select(
+        col("doc_id"),
+        col("v.rule_id").as("rule_id"),
+        col("v.severity").as("severity"),
+        col("v.path").as("path"),
+        col("v.message").as("message"))
+
+  /** Per-doc verdict + severity counts for every doc (including valid). */
+  def verdicts(docs: DataFrame, catalog: Map[String, String]): DataFrame =
+    withViolations(docs, catalog)
+      .select(col("doc_id") +: RuleSet.verdictCols(col("violations")): _*)
+
+  /** Order-preserving span-sequence fingerprint via an aggregate HOF —
+    * evidences the north-star invariant that the engine preserves exact
+    * span-sequence semantics (kind, text, media_ref, order) without
+    * exploding. */
+  def spanFingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      aggregate(col("spans"), lit(""), (acc, s) => concat(acc,
+        coalesce(s.getField("kind"), lit("~")), lit(":"),
+        coalesce(s.getField("text"), lit("~")), lit(":"),
+        coalesce(s.getField("media_ref"), lit("~")), lit(":"),
+        s.getField("offset").cast("string"), lit("|"))).as("span_fp"))
+
+  def run(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val catalog = DocGen.mediaCatalogMap(spark, sfDir)
+    val docs = DocGen.docs(spark, sfDir)
+    (violations(docs, catalog), verdicts(docs, catalog))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.data.DocGen
+import graft.engine._
+
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uniqueness: salted two-phase equals naive groupBy") {
+    val docs = DocGen.docs(spark, sf)
+    val salted = Uniqueness.duplicateKeys(docs, "doc_id", saltBuckets = 8)
+      .as[(String, Long)].collect().toMap
+    val naive = docs.groupBy("doc_id").count().where(col("count") > 1)
+      .as[(String, Long)].collect().toMap
+    assert(salted == naive)
+    assert(naive.nonEmpty, "sf0.001 should contain natural duplicate doc_ids")
+  }
+
+  test("referential: dangling refs are exactly the injected x-prefixed ones") {
+    val d = Referential.dangling(DocGen.docs(spark, sf), DocGen.mediaCatalog(spark, sf))
+    val refs = d.select("media_ref").as[String].collect()
+    assert(refs.nonEmpty && refs.forall(_.startsWith("x")))
+  }
+
+  test("referential: broadcasts a small catalog") {
+    val d = Referential.dangling(DocGen.docs(spark, sf), DocGen.mediaCatalog(spark, sf))
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"small catalog must broadcast:\n$plan")
+  }
+
+  test("stats: hand-computed values on a fixed frame") {
+    val df = Seq(
+      (Some("a"), 1), (Some("b"), 2), (None, 3), (Some("a"), 4)
+    ).toDF("s", "n")
+    val st = Stats.columnStats(df, Seq("s", "n")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(st("s").getAs[Long]("n_null") == 1)
+    assert(st("s").getAs[Long]("n_distinct") == 2)
+    assert(st("s").getAs[String]("min_v") == "a" && st("s").getAs[String]("max_v") == "b")
+    assert(st("n").getAs[Long]("n_total") == 4)
+    assert(st("n").getAs[String]("max_v") == "4")
+  }
+
+  test("drift: identical halves give psi ~ 0 and ks = 0") {
+    val df = (0 until 1000).map(i => (i % 100, i % 2)).toDF("v", "half")
+    val m = Drift.psiKs(df, "v", col("half") === 1, 10.0, 10)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(m("psi")) < 1e-9)
+    assert(m("ks") == 0.0)
+  }
+
+  test("drift: shifted distribution is detected") {
+    val df = ((0 until 500).map(i => (i % 50, 0)) ++ (0 until 500).map(i => (50 + i % 50, 1)))
+      .toDF("v", "half")
+    val m = Drift.psiKs(df, "v", col("half") === 1, 10.0, 10)
+      .as[(String, Double)].collect().toMap
+    assert(m("psi") > 1.0, s"disjoint ranges must yield large PSI, got ${m("psi")}")
+    assert(m("ks") > 0.9)
+  }
+
+  test("derive: censor cascade prefers returned > shipped > order date") {
+    val got = Derive.censorDatePerOrder(spark, sf)
+    assert(got.where(col("censor_ts").isNull).count() == 0)
+  }
+
+  test("derive: latest event per user is unique and maximal") {
+    val latest = Derive.latestEventPerUser(spark, sf)
+    assert(latest.groupBy("user_id").count().where(col("count") > 1).count() == 0)
+  }
+}

@@ -67,7 +67,35 @@ object SparkEntry {
           count(lit(1)).as("n_rows"),
           countDistinct("l_partkey").as("n_parts"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) / 100.0)
-            .cast("long").as("revenue_hundreds")))
+            .cast("long").as("revenue_hundreds"))),
+    // ---- training-data pipeline: dedup ------------------------------------
+    "dedup_exact" -> ((s, d) =>
+      ops.Dedup.exactDuplicates(
+        ops.Dedup.corpusWithExactDups(s.read.parquet(s"$d/documents.parquet")))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ops.Dedup.ngramJaccardPairs(
+        ops.Dedup.corpusWithNearDups(s.read.parquet(s"$d/documents.parquet")))),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      ops.Dedup.minhashLshPairs(
+        ops.Dedup.corpusWithNearDups(s.read.parquet(s"$d/documents.parquet")))),
+    "dedup_simhash" -> ((s, d) =>
+      ops.Dedup.simhashPairs(
+        ops.Dedup.corpusWithNearDups(s.read.parquet(s"$d/documents.parquet")))),
+    // ---- training-data pipeline: similarity search ------------------------
+    "sim_topk_bruteforce" -> ((s, d) =>
+      ops.Similarity.cosineTopK(s.read.parquet(s"$d/embeddings.parquet"))),
+    "sim_ann_lsh" -> ((s, d) =>
+      ops.Similarity.annLshTopK(s.read.parquet(s"$d/embeddings.parquet"))),
+    // ---- training-data pipeline: text analysis ----------------------------
+    "text_langid" -> ((s, d) =>
+      ops.TextAnalysis.langId(s.read.parquet(s"$d/documents.parquet"))),
+    "text_quality" -> ((s, d) =>
+      ops.TextAnalysis.quality(s.read.parquet(s"$d/documents.parquet"))),
+    "text_fingerprint" -> ((s, d) =>
+      ops.TextAnalysis.fingerprint(s.read.parquet(s"$d/documents.parquet"))),
+    // ---- training-data pipeline: multimodal plumbing ----------------------
+    "multimodal_summary" -> ((s, d) =>
+      ops.Multimodal.mediaSummary(s.read.parquet(s"$d/documents.parquet")))
   )
 
   /** DuckDB oracles. Expected violations are recomputed from the injection
@@ -202,7 +230,110 @@ object SparkEntry {
           |       count(*) AS n_rows,
           |       count(DISTINCT l_partkey) AS n_parts,
           |       CAST(round(sum(l_extendedprice*(1-l_discount))/100.0) AS BIGINT) AS revenue_hundreds
-          |FROM lineitem GROUP BY 1,2""".stripMargin
+          |FROM lineitem GROUP BY 1,2""".stripMargin,
+      "dedup_exact" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id%50=0)
+          |SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS min_doc_id
+          |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+      "dedup_ngram_jaccard" -> (nearDupShinglesCte +
+        """
+          |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+          |  CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_inter,
+          |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INT) AS n_union
+          |FROM sh a JOIN sh b
+          |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+          |WHERE 10 * len(list_intersect(a.sh, b.sh))
+          |   >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))""".stripMargin),
+      // oracle for the LSH variant is the exhaustive all-pairs exact
+      // jaccard at the same threshold (the LSH parameters make a missed
+      // pair vanishingly unlikely and the exact-verify step removes all
+      // false candidates)
+      "dedup_minhash_lsh" -> (nearDupShinglesCte +
+        """
+          |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+          |  CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_inter,
+          |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INT) AS n_union
+          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |WHERE 10 * len(list_intersect(a.sh, b.sh))
+          |   >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))""".stripMargin),
+      "sim_topk_bruteforce" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT vec_id AS q_vec_id, v AS qv, sqrt(list_dot_product(v,v)) AS qn
+          |      FROM e WHERE vec_id < 8),
+          |c AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS n FROM e WHERE vec_id >= 8),
+          |s AS (SELECT q_vec_id, vec_id AS n_vec_id,
+          |             list_dot_product(qv, v)/(qn*n) AS score FROM q CROSS JOIN c),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+          |                                   ORDER BY score DESC, n_vec_id) AS rank FROM s)
+          |SELECT q_vec_id, CAST(rank AS INT) AS rank, n_vec_id,
+          |       round(score, 6) AS score_r
+          |FROM r WHERE rank <= 5""".stripMargin,
+      "text_langid" -> {
+        val scores = graft.ops.TextAnalysis.stopwords.map { case (l, ws) =>
+          val set = ws.map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(t, w -> w IN ($set))) AS INT) AS s_$l"
+        }.mkString(",\n  ")
+        val langs = graft.ops.TextAnalysis.stopwords.map(_._1)
+        val cases = langs.init.map { l =>
+          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n  ")
+        s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS t FROM documents),
+           |s AS (SELECT doc_id,
+           |  $scores
+           |FROM tok)
+           |SELECT doc_id,
+           |  CASE $cases ELSE '${langs.last}' END AS pred_lang,
+           |  ${langs.map(l => s"s_$l").mkString(", ")}
+           |FROM s""".stripMargin
+      },
+      "text_quality" -> {
+        val set = graft.ops.TextAnalysis.stopwords.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, text,
+           |  list_filter(string_split(text, ' '), w -> len(w) > 0) AS t FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(t) AS INT) AS n_tokens,
+           |  CAST(length(text) AS INT) AS text_len,
+           |  CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE) / len(t) AS avg_token_len,
+           |  CAST(len(list_filter(t, w -> w IN ($set))) AS DOUBLE) / len(t) AS stop_ratio,
+           |  CAST(length(text) - length(replace(replace(text, '.', ''), ',', '')) AS DOUBLE)
+           |    / length(text) AS punct_ratio,
+           |  CASE WHEN len(t) BETWEEN 5 AND 10000
+           |        AND CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)/len(t) < 20.0
+           |       THEN 1 ELSE 0 END AS quality_ok
+           |FROM tok""".stripMargin
+      },
+      "text_fingerprint" ->
+        """WITH tok AS (SELECT doc_id,
+          |  list_filter(string_split(text, ' '), w -> len(w) > 0) AS t FROM documents)
+          |SELECT doc_id,
+          |  CAST(list_sum(list_transform(t,
+          |    w -> 31*length(w) + 7*ascii(substr(w,1,1)) + ascii(substr(w,length(w),1))))
+          |    AS BIGINT) % 1000003 AS fp
+          |FROM tok""".stripMargin,
+      "multimodal_summary" ->
+        """SELECT doc_id,
+          |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
+          |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+          |  CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+          |FROM documents""".stripMargin
     )
   }
+
+  /** Shared CTE: near-dup-injected corpus tokenized into distinct word
+    * 3-shingles (DuckDB lists are 1-based like Spark element_at). */
+  private val nearDupShinglesCte: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' near dup copy tail', lang, source
+      |  FROM documents WHERE doc_id%50=0),
+      |tok AS (SELECT doc_id, lang, source,
+      |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS t FROM corpus),
+      |sh AS (SELECT doc_id, lang, source,
+      |       list_distinct(list_transform(generate_series(1, len(t)-2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |       FROM tok WHERE len(t) >= 3)""".stripMargin
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Brute-force cosine top-k is the correctness baseline (broadcast the
+  * query set, scan candidates once — scales linearly in corpus size and is
+  * embarrassingly parallel); random-hyperplane LSH bucketing is the scale
+  * path (touches only same-bucket candidates).
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product (deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def prepared(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** Exact cosine top-k: query set = vec_id < nQueries (broadcast),
+    * candidates = the rest. Deterministic tie-break on vec_id. */
+  def cosineTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = prepared(emb)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"), col("norm").as("qn"))
+    val c = e.where(col("vec_id") >= nQueries)
+    val w = Window.partitionBy("q_vec_id").orderBy(col("score").desc, col("vec_id").asc)
+    c.crossJoin(broadcast(q))
+      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_vec_id"), col("rank"), col("vec_id").as("n_vec_id"),
+        round(col("score"), 6).as("score_r"))
+  }
+
+  /** Random-hyperplane signature: bit j = sign of <v, h_j> where h_j has
+    * deterministic +-1 components derived from xxhash64(seedOffset+j,
+    * component index). Different seedOffsets give independent hash tables. */
+  def lshBucket(v: Column, nBits: Int, seedOffset: Int = 0): Column =
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)), lit(0L),
+      (acc, j) => acc + when(
+        aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+            x * when(pmod(xxhash64(j + seedOffset, i), lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0))),
+          lit(0.0), (s, x) => s + x) > 0,
+        pow(lit(2.0), j.cast("double")).cast("long")
+      ).otherwise(lit(0L)))
+
+  /** Approximate NN via multi-table random-hyperplane LSH: a candidate is
+    * considered for a query if they share the full nBits signature in ANY
+    * of the nTables independent tables (standard recall amplification:
+    * P(hit) = 1-(1-p^nBits)^nTables). Candidate generation is an equi-join
+    * keyed on (table, bucket) — linear scans, never O(n^2); exact cosine
+    * re-rank inside the candidate set. Recall vs cosineTopK is asserted in
+    * OpsSpec. */
+  def annLshTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                 nBits: Int = 6, nTables: Int = 8): DataFrame = {
+    val buckets = array((0 until nTables).map(t =>
+      lshBucket(col("v"), nBits, seedOffset = t * nBits)): _*)
+    val e = prepared(emb)
+      .select(col("vec_id"), col("v"), col("norm"),
+        posexplode(buckets).as(Seq("table", "bucket")))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("table"), col("bucket"))
+    val c = e.where(col("vec_id") >= nQueries)
+    val w = Window.partitionBy("q_vec_id").orderBy(col("score").desc, col("n_vec_id").asc)
+    c.join(broadcast(q), Seq("table", "bucket"))
+      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .groupBy(col("q_vec_id"), col("vec_id").as("n_vec_id"))
+      .agg(max(col("score")).as("score")) // dedupe multi-table hits
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_vec_id"), col("rank"), col("n_vec_id"),
+        round(col("score"), 6).as("score_r"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID
+  * (stopword-hit heuristic), quality scoring (length/stopword/punctuation
+  * ratios), token counting and bag-of-words document fingerprinting.
+  * All row-local Column expressions — scan-parallel, shuffle-free.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = Dedup.tokens(text)
+
+  /** Tiny per-language stopword sets for the n-gram/stopword heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  private def hits(t: Column, words: Seq[String]): Column =
+    size(filter(t, w => w.isin(words.map(lit): _*)))
+
+  /** Predicted language = argmax stopword hits, ties broken by the fixed
+    * language order (first >= all others wins). */
+  def langId(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val scored = documents.select(
+      col("doc_id") +: stopwords.map { case (l, ws) => hits(t, ws).as(s"s_$l") }: _*)
+    val langs = stopwords.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(geAll, lit(l)).otherwise(els)
+    }
+    scored.select(
+      col("doc_id") +: pred.as("pred_lang") +: langs.map(l => col(s"s_$l")): _*)
+  }
+
+  /** All-language stopword union for the quality ratio. */
+  private val allStop: Seq[String] = stopwords.flatMap(_._2).distinct
+
+  /** Quality features per doc. Ratios are single divisions of exact integer
+    * counts -> bitwise-reproducible across engines. */
+  def quality(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      length(col("text")).as("text_len"),
+      (aggregate(t, lit(0), (acc, w) => acc + length(w)).cast("double") / size(t))
+        .as("avg_token_len"),
+      (hits(t, allStop).cast("double") / size(t)).as("stop_ratio"),
+      ((length(col("text")) - length(translate(col("text"), ".,", ""))).cast("double")
+        / length(col("text"))).as("punct_ratio"))
+      .withColumn("quality_ok",
+        (col("n_tokens").between(5, 10000) && col("avg_token_len") < 20.0).cast("int"))
+  }
+
+  /** Bag-of-words fingerprint: sum of a portable per-word hash
+    * (31*len + 7*first-char + last-char codepoints), mod 1000003 —
+    * identical arithmetic is expressible in ANSI SQL for the oracle. */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val h = (w: Column) =>
+      lit(31) * length(w) + lit(7) * ascii(w.substr(lit(1), lit(1))) +
+        ascii(w.substr(length(w), lit(1)))
+    documents.select(
+      col("doc_id"),
+      pmod(aggregate(t, lit(0L), (acc, w) => acc + h(w)), lit(1000003L)).as("fp"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val documents = spark.read.parquet(s"$sf/documents.parquet").cache()
+  private lazy val embeddings = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("dedup exact: finds exactly the injected copies") {
+    val dups = Dedup.exactDuplicates(Dedup.corpusWithExactDups(documents))
+    val expected = documents.where(col("doc_id") % 50 === 0).count()
+    assert(dups.count() == expected && expected > 0)
+    assert(dups.where(col("cnt") =!= 2).count() == 0)
+  }
+
+  test("dedup ngram jaccard: every injected near-dup pair is found") {
+    val pairs = Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(documents))
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val injected = documents.where(col("doc_id") % 50 === 0)
+      .select("doc_id").as[Long].collect()
+      .map(id => (id, id + 1000000)).toSet
+    assert(injected.nonEmpty && injected.subsetOf(pairs))
+  }
+
+  test("dedup minhash LSH: finds all pairs the exhaustive jaccard finds") {
+    val corpus = Dedup.corpusWithNearDups(documents)
+    val lsh = Dedup.minhashLshPairs(corpus)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    // exhaustive reference: all-pairs jaccard on the same corpus (small sf)
+    val sh = corpus.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("ida"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("idb"), col("sh").as("sb"))
+    val exact = a.join(b, col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("sa"), col("sb"))).as("i"),
+        (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))).as("u"))
+      .where(col("i") * 10 >= col("u") * 6)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && lsh == exact)
+  }
+
+  test("dedup simhash: chunk-bucketed result equals all-pairs Hamming <= 7") {
+    val corpus = Dedup.corpusWithNearDups(documents)
+    val got = Dedup.simhashPairs(corpus)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    // brute-force all-pairs reference on the collected simhash values
+    val sims = Dedup.simhashes(corpus).as[(Long, Long)].collect()
+    val exact = (for {
+      (ida, sa) <- sims.iterator
+      (idb, sb) <- sims.iterator
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (ida, idb)).toSet
+    assert(got.nonEmpty && got == exact)
+  }
+
+  test("similarity: brute-force top-k is sane (self-similarity, ranks)") {
+    // append a copy of query vec 0 as a candidate: it must rank first with score 1
+    val probe = embeddings.unionAll(
+      embeddings.where(col("vec_id") === 0)
+        .select(lit(900000L).as("vec_id"), col("embedding"), col("label")))
+    val top = Similarity.cosineTopK(probe)
+    val first = top.where(col("q_vec_id") === 0 && col("rank") === 1)
+      .select("n_vec_id", "score_r").as[(Long, Double)].collect().head
+    assert(first == ((900000L, 1.0)))
+    assert(top.groupBy("q_vec_id").count().select("count").as[Long].collect().forall(_ == 5))
+  }
+
+  test("similarity: ANN-LSH recall vs brute force is reasonable") {
+    val exact = Similarity.cosineTopK(embeddings, k = 5)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annLshTopK(embeddings, k = 5)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ANN recall too low: $recall (single-probe 8-bit LSH)")
+  }
+
+  test("text: fingerprint matches hand computation") {
+    val df = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df).select("fp").as[Long].collect().head
+    def h(w: String) = 31 * w.length + 7 * w.head.toInt + w.last.toInt
+    assert(fp == (h("ab") + h("cd")) % 1000003)
+  }
+
+  test("text: quality features match hand computation") {
+    val df = Seq((1L, "the fox, ran.")).toDF("doc_id", "text")
+    val q = TextAnalysis.quality(df).collect().head
+    assert(q.getAs[Int]("n_tokens") == 3)
+    assert(q.getAs[Double]("stop_ratio") == 1.0 / 3.0)
+    assert(q.getAs[Double]("punct_ratio") == 2.0 / 13.0)
+  }
+
+  test("text: langid picks the language with most stopword hits") {
+    val df = Seq((1L, "der hund und die katze"), (2L, "the cat and the dog"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "de" && got(2L) == "en")
+  }
+
+  test("multimodal: stub decode features are deterministic and normalized") {
+    val media = Multimodal.mediaTable(documents)
+    val feats = Multimodal.extractFeatures(spark, media).cache()
+    val f = feats.filter(_.doc_id == 0L).collect().head
+    assert(f.features.length == 16)
+    assert(math.abs(f.features.sum - 1.0f) < 1e-3)
+    val n = documents.where(col("doc_id") === 0).select(length(col("text")))
+      .as[Int].collect().head
+    assert(f.n_bytes == n && f.n_frames == (n + 63) / 64)
+    feats.unpersist()
+  }
+}

@@ -1,24 +1,52 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs every registered query on SPARK_GRAFT_SF_DIR at
+  * local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...}
+  * plus docs_per_sec (the north metric: full-constraint-suite validated
+  * docs/sec, measured on the validate_verdicts pass) and cpus.
+  *
+  * Queries are forced through the noop sink — a count() would let Catalyst
+  * prune the whole rule projection and time an empty scan.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def force(name: String): Double = time {
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // JIT/IO warmup on the flagship pass (not counted)
+    force("validate_verdicts")
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val sec = try force(name) catch { case _: Throwable => -1.0 }
+      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      name -> sec
+    }
+    val nDocs = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val verdictSec = results.toMap.apply("validate_verdicts")
+    val docsPerSec = if (verdictSec > 0) nDocs / verdictSec else -1.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ > 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":$docsPerSec}""")
     spark.stop()
   }
 }

@@ -32,8 +32,8 @@ object SparkEntry {
     "referential_dangling" -> ((s, d) =>
       Referential.dangling(DocGen.docs(s, d), DocGen.mediaCatalog(s, d))),
     "temporal_order_weeks" -> ((s, d) => {
-      val li = s.read.parquet(s"$d/lineitem.parquet")
-      val o = s.read.parquet(s"$d/orders.parquet")
+      val li = graft.data.Tables.read(s, d, "lineitem")
+      val o = graft.data.Tables.read(s, d, "orders")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .withColumn("days_between", datediff(col("l_shipdate"), col("o_orderdate")))
         .where(col("days_between") < 7)
@@ -51,16 +51,16 @@ object SparkEntry {
     "report_quarterly" -> ((s, d) => Derive.quarterlyReport(s, d)),
     // ---- column stats / histogram / drift --------------------------------
     "stats_columns" -> ((s, d) =>
-      Stats.columnStats(s.read.parquet(s"$d/documents.parquet"),
+      Stats.columnStats(graft.data.Tables.read(s, d, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
     "stats_histogram" -> ((s, d) =>
-      Stats.histogram(s.read.parquet(s"$d/documents.parquet"), "n_chars", 50.0, 10)),
+      Stats.histogram(graft.data.Tables.read(s, d, "documents"), "n_chars", 50.0, 10)),
     "drift_psi_ks" -> ((s, d) =>
-      Drift.psiKs(s.read.parquet(s"$d/documents.parquet"), "n_chars",
+      Drift.psiKs(graft.data.Tables.read(s, d, "documents"), "n_chars",
         col("doc_id") % 2 === 1, 50.0, 10)),
     // ---- classic wide aggregation ----------------------------------------
     "q1_pricing_summary" -> ((s, d) =>
-      s.read.parquet(s"$d/lineitem.parquet")
+      graft.data.Tables.read(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").cast("long").as("sum_qty"),
@@ -71,31 +71,31 @@ object SparkEntry {
     // ---- training-data pipeline: dedup ------------------------------------
     "dedup_exact" -> ((s, d) =>
       ops.Dedup.exactDuplicates(
-        ops.Dedup.corpusWithExactDups(s.read.parquet(s"$d/documents.parquet")))),
+        ops.Dedup.corpusWithExactDups(graft.data.Tables.read(s, d, "documents")))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       ops.Dedup.ngramJaccardPairs(
-        ops.Dedup.corpusWithNearDups(s.read.parquet(s"$d/documents.parquet")))),
+        ops.Dedup.corpusWithNearDups(graft.data.Tables.read(s, d, "documents")))),
     "dedup_minhash_lsh" -> ((s, d) =>
       ops.Dedup.minhashLshPairs(
-        ops.Dedup.corpusWithNearDups(s.read.parquet(s"$d/documents.parquet")))),
+        ops.Dedup.corpusWithNearDups(graft.data.Tables.read(s, d, "documents")))),
     "dedup_simhash" -> ((s, d) =>
       ops.Dedup.simhashPairs(
-        ops.Dedup.corpusWithNearDups(s.read.parquet(s"$d/documents.parquet")))),
+        ops.Dedup.corpusWithNearDups(graft.data.Tables.read(s, d, "documents")))),
     // ---- training-data pipeline: similarity search ------------------------
     "sim_topk_bruteforce" -> ((s, d) =>
-      ops.Similarity.cosineTopK(s.read.parquet(s"$d/embeddings.parquet"))),
+      ops.Similarity.cosineTopK(graft.data.Tables.read(s, d, "embeddings"))),
     "sim_ann_lsh" -> ((s, d) =>
-      ops.Similarity.annLshTopK(s.read.parquet(s"$d/embeddings.parquet"))),
+      ops.Similarity.annLshTopK(graft.data.Tables.read(s, d, "embeddings"))),
     // ---- training-data pipeline: text analysis ----------------------------
     "text_langid" -> ((s, d) =>
-      ops.TextAnalysis.langId(s.read.parquet(s"$d/documents.parquet"))),
+      ops.TextAnalysis.langId(graft.data.Tables.read(s, d, "documents"))),
     "text_quality" -> ((s, d) =>
-      ops.TextAnalysis.quality(s.read.parquet(s"$d/documents.parquet"))),
+      ops.TextAnalysis.quality(graft.data.Tables.read(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) =>
-      ops.TextAnalysis.fingerprint(s.read.parquet(s"$d/documents.parquet"))),
+      ops.TextAnalysis.fingerprint(graft.data.Tables.read(s, d, "documents"))),
     // ---- training-data pipeline: multimodal plumbing ----------------------
     "multimodal_summary" -> ((s, d) =>
-      ops.Multimodal.mediaSummary(s.read.parquet(s"$d/documents.parquet")))
+      ops.Multimodal.mediaSummary(graft.data.Tables.read(s, d, "documents")))
   )
 
   /** DuckDB oracles. Expected violations are recomputed from the injection

@@ -33,7 +33,7 @@ import graft.model.Schemas
 object DocGen {
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    Tables.read(spark, sfDir, "lineitem")
 
   /** One doc per lineitem row; three interleaved spans (text, media, text). */
   def docs(spark: SparkSession, sfDir: String): DataFrame = {

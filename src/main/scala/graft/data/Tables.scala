@@ -1,0 +1,21 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fact-table reader that restores scan parallelism.
+  *
+  * The sandbox parquet files are written as a SINGLE row group, so Spark
+  * cannot byte-range-split them: every downstream map-side operator would
+  * run as one task no matter how many cores the session has (measured:
+  * identical wall-clock at local[8] and local[32]). A production table at
+  * 10^12 docs is thousands of files/row groups and splits for free; this
+  * helper emulates that by fanning the scan out to the session's default
+  * parallelism. Dimension reads (media catalog, broadcast sides) stay
+  * unsplit — repartitioning a broadcast input is pure overhead.
+  */
+object Tables {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.repartition(spark.sparkContext.defaultParallelism)
+  }
+}

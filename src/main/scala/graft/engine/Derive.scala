@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object Derive {
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
+    graft.data.Tables.read(spark, sfDir, "events")
 
   /** Latest event per user — deterministic argmax via row_number over
     * (ts DESC, event_id DESC). Window shuffles once on user_id; at scale
@@ -31,8 +31,8 @@ object Derive {
     * latest ship date, order date) — the V5 dateOfDeathOrCensoring shape.
     * Aggregate lineitem first (map-side combine), then join orders. */
   def censorDatePerOrder(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = graft.data.Tables.read(spark, sfDir, "lineitem")
+    val orders = graft.data.Tables.read(spark, sfDir, "orders")
     val agg = li.groupBy("l_orderkey").agg(
       max(when(col("l_returnflag") === "R", col("l_shipdate"))).as("last_returned"),
       max(col("l_shipdate")).as("last_shipped"))

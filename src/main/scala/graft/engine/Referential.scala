@@ -23,7 +23,8 @@ object Referential {
                catalogRows: Option[Long] = None): DataFrame = {
     val refs = docs
       .select(col("doc_id"),
-        explode(filter(col("spans"), s => s.getField("media_ref").isNotNull)).as("s"))
+        explode_outer(filter(col("spans"), s => s.getField("media_ref").isNotNull)).as("s"))
+      .where(col("s").isNotNull)
       .select(col("doc_id"), col("s.media_ref").as("media_ref"))
     val dim = catalog.select(col("media_ref"))
     val n = catalogRows.getOrElse(dim.count())

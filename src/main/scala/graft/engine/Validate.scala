@@ -21,10 +21,19 @@ object Validate {
     docs.withColumn("violations",
       RuleSet.violationsArray(CoreRules.all(catalog, DocGen.kindVocab)))
 
-  /** Flat violations table (doc_id, rule_id, severity, path, message). */
+  /** Flat violations table (doc_id, rule_id, severity, path, message).
+    *
+    * explode_outer + IS NOT NULL, not plain explode: InferFiltersFromGenerate
+    * would infer `size(violations) > 0` from explode and push it below the
+    * projection, inlining the whole rule corpus (and the span expressions,
+    * once per rule reference) into a Filter — measured 5x slower. The
+    * outer variant is exempt; the null rows from violation-free docs are
+    * dropped on the generator OUTPUT attribute, which cannot be pushed down.
+    */
   def violations(docs: DataFrame, catalog: Map[String, String]): DataFrame =
     withViolations(docs, catalog)
-      .select(col("doc_id"), explode(col("violations")).as("v"))
+      .select(col("doc_id"), explode_outer(col("violations")).as("v"))
+      .where(col("v").isNotNull)
       .select(
         col("doc_id"),
         col("v.rule_id").as("rule_id"),

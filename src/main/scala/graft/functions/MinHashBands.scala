@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Banded MinHash signatures as ONE compiled Catalyst expression.
+  *
+  * input:  array<string> (the shingle set)
+  * output: array<struct<band:int, sig:long>> — numHashes/rowsPerBand rows
+  *
+  * Why a custom Expression: the same pipeline as composed higher-order
+  * functions (transform/zip_with/array_min over 64 permutations) evaluates
+  * one interpreted lambda per (permutation x shingle) — ~1 microsecond each,
+  * ~3.3k per doc (measured ~30 s for 5100 docs at sf0.1). This tight loop
+  * does the identical math (xxhash64 base hash per shingle, 31-bit affine
+  * universal-hash permutations, min-fold, band mixing) in compiled Scala.
+  * Interpreted eval is fine here (CodegenFallback): the expression is called
+  * once per row and its body is already compiled code.
+  */
+case class MinHashBands(child: Expression, numHashes: Int, rowsPerBand: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  private val nBands = numHashes / rowsPerBand
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("sig", LongType, nullable = false))))
+
+  override def nullable: Boolean = child.nullable
+
+  // deterministic per-permutation seeds; each permutation is a murmur3
+  // finalizer over (baseHash XOR seed) — a proper (wrapping) 64-bit mix.
+  // NOT an affine map: a*h+b without wraparound is monotonic in h, so every
+  // "permutation" would pick the same argmin shingle (observed: LSH recall
+  // collapsed). Raw Scala arithmetic wraps silently, so no ANSI concerns.
+  private val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => scala.util.hashing.byteswap64(2L * i + 1))
+
+  @inline private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= -49064778989728563L   // 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= -4265267296055464877L // 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33
+    x
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      // same hash family as functions.xxhash64 (seed 42)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val v = fmix64(h ^ seeds(j))
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      var sig = -7046029254386353131L // xxhash64 prime seed mix
+      var r = 0
+      while (r < rowsPerBand) {
+        sig = java.lang.Long.rotateLeft(sig ^ mins(b * rowsPerBand + r), 27) *
+          -4417276706812531889L + 1609587929392839161L
+        r += 1
+      }
+      out(b) = InternalRow(b, sig)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
+  override def prettyName: String = "minhash_bands"
+}
+
+object MinHashBands {
+  import org.apache.spark.sql.GraftBridge
+
+  def apply(c: Column, numHashes: Int, rowsPerBand: Int): Column =
+    GraftBridge.column(MinHashBands(GraftBridge.expression(c), numHashes, rowsPerBand))
+}

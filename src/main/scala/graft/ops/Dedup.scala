@@ -61,65 +61,93 @@ object Dedup {
     Seq(inter.as("n_inter"), (size(aSh) + size(bSh) - inter).as("n_union"))
   }
 
-  /** Exact n-gram Jaccard within (lang, source) groups — all-pairs inside a
-    * group, so only usable when groups are bounded; LSH below is the
-    * unbounded-scale path. Keeps counts integral (n_inter/n_union) so the
-    * oracle compare is exact. Threshold: jaccard >= 0.6. */
+  /** Exact n-gram Jaccard within (lang, source) groups, threshold >= 0.6.
+    *
+    * Scale shape: NOT an all-pairs array-intersect join. Shingles are
+    * exploded once, grouped into (lang, source, shingle) buckets, and pairs
+    * materialize row-locally from each bucket's member list — so cost
+    * tracks ACTUAL shingle co-occurrences, never |group|^2. A pair with
+    * zero common shingles cannot pass the threshold, so it is correct that
+    * it never materializes. Counts stay integral (n_inter/n_union) for an
+    * exact oracle compare. At web scale, cap hot-shingle bucket sizes
+    * before pair expansion (skew guard). */
   def ngramJaccardPairs(corpus: DataFrame): DataFrame = {
-    val sh = corpus
-      .select(col("doc_id"), col("lang"), col("source"), shingles(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
-    val a = sh.alias("a")
-    val b = sh.alias("b")
-    a.join(b,
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_id_a") +: col("b.doc_id").as("doc_id_b") +:
-          pairStats(col("a.sh"), col("b.sh")): _*)
+    val sh = shingles(col("text"))
+    // NOTE: no extra computed column next to the generator — a Project
+    // above a Generate re-evaluates its expressions once per EXPLODED row
+    // (52x/doc, measured); per-doc shingle counts come from a separate
+    // broadcast-joined scan instead
+    val ex = corpus
+      .select(col("doc_id"), col("lang"), col("source"), explode_outer(sh).as("s"))
+      .where(col("s").isNotNull)
+    val sizes = corpus.select(col("doc_id"), size(sh).as("n"))
+    val buckets = ex
+      .groupBy(col("lang"), col("source"), col("s"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+    val pairs = buckets
+      .select(explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))
+      .where(col("p").isNotNull)
+      .groupBy(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
+      .agg(count(lit(1)).cast("int").as("n_inter"))
+    pairs
+      .join(broadcast(sizes.select(col("doc_id").as("doc_id_a"), col("n").as("na"))),
+        "doc_id_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_id_b"), col("n").as("nb"))),
+        "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"))
       .where(col("n_inter") * 10 >= col("n_union") * 6)
   }
 
   /** MinHash + banded LSH near-dup detection, exact-Jaccard verified.
     *
-    * numHashes minhash values per doc (xxhash64 seeded by permutation
-    * index, computed row-locally over the shingle array — no explode),
-    * banded into numHashes/rowsPerBand signatures; docs sharing any band
-    * bucket become candidates (equi-join on (band, sig) — shuffle keyed by
-    * signature, never all-pairs); candidates are verified with exact
-    * Jaccard >= 0.6 so false positives drop out.
+    * Row-local signature pipeline (no explode of shingles): ONE xxhash64
+    * per shingle, then numHashes universal-hashing permutations
+    * (h*a_i + b_i over literal constant arrays) folded to minhashes,
+    * banded into numHashes/rowsPerBand signatures. Every intermediate is
+    * let-bound (Exprs.withLet): referenced from inside per-permutation /
+    * per-band lambdas they would otherwise be re-evaluated on every
+    * iteration (32x full recompute, measured). Docs sharing a band bucket
+    * become candidate pairs via grouped row-local pair expansion (shuffle
+    * keyed by signature, never all-pairs, no double-computed self-join
+    * sides); candidates are verified with exact Jaccard >= 0.6 computed
+    * from the raw texts of just the candidate docs, so false positives
+    * drop out and verification costs O(candidates).
     *
     * rowsPerBand=2 over 64 hashes -> 32 bands: P(miss) at s=0.7 is
     * (1-0.49)^32 ~ 4e-10 — effectively exhaustive at the verify threshold.
     */
   def minhashLshPairs(corpus: DataFrame, numHashes: Int = 64,
                       rowsPerBand: Int = 2): DataFrame = {
-    val nBands = numHashes / rowsPerBand
-    val sh = corpus
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
-    val mh = sh.withColumn("mh",
-      transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        array_min(transform(col("sh"), s => xxhash64(i, s)))))
-    val banded = mh.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
-        struct(
-          b.as("band"),
-          array_join(
-            transform(slice(col("mh"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string")), "_").as("sig")))).as("bs"))
+    val bandsExpr =
+      graft.functions.MinHashBands(shingles(col("text")), numHashes, rowsPerBand)
+    // explode_outer: plain explode triggers InferFiltersFromGenerate, which
+    // duplicates the whole minhash expression into a pushed-down Filter
+    val banded = corpus
+      // shingle-less docs would all share the hash-of-empty signature and
+      // cross-bucket into a spurious mega-candidate-set: drop them first
+      .where(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode_outer(bandsExpr).as("bs"))
+      .where(col("bs").isNotNull)
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    val candidates = l.join(r,
-        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_id_a"), col("r.doc_id").as("doc_id_b"))
+    val candidates = banded
+      .groupBy(col("band"), col("sig"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
       .distinct()
-    val a = sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    candidates.join(a, "doc_id_a").join(b, "doc_id_b")
+    // exact verify: intersect 64-bit-hashed shingle sets (hashing preserves
+    // distinct counts up to ~1e-14 collision odds; long intersects are far
+    // cheaper than string intersects). The per-doc shingle table is tiny ->
+    // broadcast, so pair arrays never shuffle and each doc is shingled once.
+    val shingled = corpus.select(col("doc_id"),
+      transform(shingles(col("text")), s => xxhash64(s)).as("sh"))
+    val a = shingled.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val b = shingled.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    candidates.join(broadcast(a), "doc_id_a").join(broadcast(b), "doc_id_b")
       .select(
         col("doc_id_a") +: col("doc_id_b") +:
           pairStats(col("sh_a"), col("sh_b")): _*)
@@ -158,7 +186,8 @@ object Dedup {
         shiftrightunsigned(col("sim"), ci * 8).bitwiseAND(lit(0xFFL)).as("cv")))
     val chunked = sims.select(
       col("doc_id"), col("sim"),
-      explode(array(chunkStructs: _*)).as("ch"))
+      explode_outer(array(chunkStructs: _*)).as("ch"))
+      .where(col("ch").isNotNull)
       .select(col("doc_id"), col("sim"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
     val l = chunked.alias("l")
     val r = chunked.alias("r")

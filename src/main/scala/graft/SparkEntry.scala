@@ -44,6 +44,18 @@ object SparkEntry {
           lit("error").as("severity"),
           lit("R_SHIP_AFTER_ORDER").as("rule_id"))
     }),
+    // latest-by over an in-row versioned sequence (V31: array_sort +
+    // element_at(-1), no explode, no shuffle)
+    "derive_latest_span" -> ((s, d) => {
+      // try_element_at: ANSI mode (Spark 4 default) raises on empty arrays
+      val latest = try_element_at(
+        array_sort(col("spans"), (a, b) =>
+          a.getField("offset") - b.getField("offset")), lit(-1))
+      DocGen.docs(s, d).select(
+        col("doc_id"),
+        latest.getField("kind").as("last_kind"),
+        latest.getField("offset").as("last_offset"))
+    }),
     // ---- derivations (argmax / coalesce cascade / set-fold / report) ----
     "derive_latest_event" -> ((s, d) => Derive.latestEventPerUser(s, d)),
     "derive_censor_date" -> ((s, d) => Derive.censorDatePerOrder(s, d)),
@@ -58,6 +70,12 @@ object SparkEntry {
     "drift_psi_ks" -> ((s, d) =>
       Drift.psiKs(graft.data.Tables.read(s, d, "documents"), "n_chars",
         col("doc_id") % 2 === 1, 50.0, 10)),
+    // mergeable HLL sketches (approximate -> rows-only check, no oracle)
+    "stats_hll" -> ((s, d) => {
+      val cols = Seq("doc_id", "text", "lang", "source")
+      Stats.hllEstimates(
+        Stats.hllSketches(graft.data.Tables.read(s, d, "documents"), cols), cols)
+    }),
     // ---- classic wide aggregation ----------------------------------------
     "q1_pricing_summary" -> ((s, d) =>
       graft.data.Tables.read(s, d, "lineitem")
@@ -161,6 +179,16 @@ object SparkEntry {
           |       'error' AS severity, 'R_SHIP_AFTER_ORDER' AS rule_id
           |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
           |WHERE date_diff('day', o.o_orderdate, l.l_shipdate) < 7""".stripMargin,
+      "derive_latest_span" -> (liCte +
+        """
+          |SELECT doc_id,
+          |  CASE WHEN ok%71=0 THEN NULL
+          |       WHEN ok%97=0 AND ok%83=0 THEN 'blob'
+          |       WHEN ok%97=0 THEN 'media'
+          |       ELSE 'text' END AS last_kind,
+          |  CASE WHEN ok%71=0 THEN NULL
+          |       WHEN ok%97=0 THEN 10 ELSE 20 END AS last_offset
+          |FROM li""".stripMargin),
       "derive_latest_event" ->
         """SELECT user_id, event_id, event_type, ts, value FROM (
           |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -312,7 +340,10 @@ object SparkEntry {
           |SELECT doc_id,
           |  CAST(list_sum(list_transform(t,
           |    w -> 31*length(w) + 7*ascii(substr(w,1,1)) + ascii(substr(w,length(w),1))))
-          |    AS BIGINT) % 1000003 AS fp
+          |    AS BIGINT) % 1000003 AS fp,
+          |  CAST(list_sum(list_transform(generate_series(1, len(t)),
+          |    i -> i * (31*length(t[i]) + 7*ascii(substr(t[i],1,1)) + ascii(substr(t[i],length(t[i]),1)))))
+          |    AS BIGINT) % 1000003 AS fp_roll
           |FROM tok""".stripMargin,
       "multimodal_summary" ->
         """SELECT doc_id,

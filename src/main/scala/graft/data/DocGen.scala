@@ -36,8 +36,12 @@ object DocGen {
     Tables.read(spark, sfDir, "lineitem")
 
   /** One doc per lineitem row; three interleaved spans (text, media, text). */
-  def docs(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = lineitem(spark, sfDir)
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    docsFrom(lineitem(spark, sfDir))
+
+  /** Span derivation over any lineitem-shaped relation — shared by the
+    * batch path and streaming.StreamValidate (same columns, same rules). */
+  def docsFrom(li: DataFrame): DataFrame = {
     val ok = col("l_orderkey")
     val pkmod = (col("l_partkey") % 1000).cast("string")
     val flagText = concat(col("l_returnflag"), col("l_linestatus"))

@@ -30,6 +30,31 @@ object Drift {
       .agg(
         sum(when(col("cur") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("cur") === 1, 1L).otherwise(0L)).as("cb"))
+    psiKsFromCounts(counts, nBuckets)
+  }
+
+  /** Baseline-snapshot form: persist `histogramSnapshot` of a reference
+    * population to the metrics store, later compare a current population
+    * against it (north_star: "PSI/KS against a baseline stats snapshot"). */
+  def histogramSnapshot(df: DataFrame, valueCol: String, width: Double,
+                        nBuckets: Int): DataFrame =
+    Stats.histogram(df, valueCol, width, nBuckets)
+
+  def psiKsAgainstSnapshot(current: DataFrame, valueCol: String,
+                           snapshot: DataFrame, width: Double,
+                           nBuckets: Int): DataFrame = {
+    val cur = Stats.histogram(current, valueCol, width, nBuckets)
+      .withColumnRenamed("cnt", "cb")
+    val base = snapshot.withColumnRenamed("cnt", "ca")
+    val counts = base.join(cur, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    psiKsFromCounts(counts, nBuckets)
+  }
+
+  /** PSI + KS from per-bucket (ca=baseline, cb=current) counts. */
+  private def psiKsFromCounts(counts: DataFrame, nBuckets: Int): DataFrame = {
     val whole = Window.partitionBy(lit(1))
     val ordered = Window.partitionBy(lit(1)).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -40,6 +40,30 @@ object Stats {
         col("max_v"))
   }
 
+  /** Mergeable HLL sketches per column, one wide aggregate pass — the
+    * persistable distinct-count path for the metrics table at 10^12 docs
+    * (north_star: "distinct-count via HLL sketches"). Sketches union across
+    * partitions/buckets/runs via hll_union; estimates via
+    * hll_sketch_estimate. Output: one row, a binary sketch per column. */
+  def hllSketches(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c => hll_sketch_agg(col(c)).as(s"${c}__hll"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (col_name, n_distinct_approx) from a sketches row. */
+  def hllEstimates(sketches: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', hll_sketch_estimate(`${c}__hll`)").mkString(", ")
+    sketches.selectExpr(
+      s"stack(${cols.size}, $stackArgs) as (col_name, n_distinct_approx)")
+  }
+
+  /** Union two sketch rows (e.g. metrics of two buckets/runs) column-wise. */
+  def hllMerge(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    val u = a.unionAll(b)
+    val aggs = cols.map(c => hll_union_agg(col(s"${c}__hll")).as(s"${c}__hll"))
+    u.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Fixed-width value histogram (clamped top bucket) — groupBy on a derived
     * bucket key; partial aggregation makes this one shuffle of <=nBuckets
     * rows per task regardless of input size. */

@@ -164,20 +164,11 @@ object Dedup {
   /** 64-bit SimHash per doc (doc_id, sim): single pass over token hashes,
     * per-bit +-1 counts folded into a 64-slot array accumulator, then
     * counts -> bits. */
-  def simhashes(corpus: DataFrame): DataFrame = {
-    val masks = typedLit((0 until 64).map(1L << _))
-    val bitCounts = aggregate(
-      col("th"), array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, masks, (a, m) =>
-        a + when(h.bitwiseAND(m) =!= 0, lit(1L)).otherwise(lit(-1L))))
-    val simFromCounts = aggregate(
-      zip_with(bitCounts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+  def simhashes(corpus: DataFrame): DataFrame =
     corpus
-      .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("th"))
-      .where(size(col("th")) > 0)
-      .select(col("doc_id"), simFromCounts.as("sim"))
-  }
+      .where(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHash64(tokens(col("text"))).as("sim"))
 
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 7): DataFrame = {
     val sims = simhashes(corpus)

@@ -60,9 +60,12 @@ object TextAnalysis {
         (col("n_tokens").between(5, 10000) && col("avg_token_len") < 20.0).cast("int"))
   }
 
-  /** Bag-of-words fingerprint: sum of a portable per-word hash
-    * (31*len + 7*first-char + last-char codepoints), mod 1000003 —
-    * identical arithmetic is expressible in ANSI SQL for the oracle. */
+  /** Document fingerprints, mod 1000003, from a portable per-word hash
+    * (31*len + 7*first-char + last-char codepoints — identical arithmetic
+    * is expressible in ANSI SQL for the oracle):
+    *   fp      — bag-of-words (order-insensitive content hash)
+    *   fp_roll — positional rolling hash (order-sensitive; permuted word
+    *             order fingerprints differently) */
   def fingerprint(documents: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val h = (w: Column) =>
@@ -70,6 +73,10 @@ object TextAnalysis {
         ascii(w.substr(length(w), lit(1)))
     documents.select(
       col("doc_id"),
-      pmod(aggregate(t, lit(0L), (acc, w) => acc + h(w)), lit(1000003L)).as("fp"))
+      pmod(aggregate(t, lit(0L), (acc, w) => acc + h(w)), lit(1000003L)).as("fp"),
+      pmod(
+        aggregate(transform(t, (w, i) => (i + lit(1)).cast("long") * h(w)),
+          lit(0L), (acc, x) => acc + x),
+        lit(1000003L)).as("fp_roll"))
   }
 }

@@ -78,11 +78,16 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN recall too low: $recall (single-probe 8-bit LSH)")
   }
 
-  test("text: fingerprint matches hand computation") {
-    val df = Seq((1L, "ab cd")).toDF("doc_id", "text")
-    val fp = TextAnalysis.fingerprint(df).select("fp").as[Long].collect().head
+  test("text: fingerprints match hand computation; rolling is order-sensitive") {
+    val df = Seq((1L, "ab cd"), (2L, "cd ab")).toDF("doc_id", "text")
     def h(w: String) = 31 * w.length + 7 * w.head.toInt + w.last.toInt
-    assert(fp == (h("ab") + h("cd")) % 1000003)
+    val rows = TextAnalysis.fingerprint(df)
+      .select("doc_id", "fp", "fp_roll").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L)._1 == (h("ab") + h("cd")) % 1000003)
+    assert(rows(1L)._2 == (h("ab") + 2 * h("cd")) % 1000003)
+    assert(rows(1L)._1 == rows(2L)._1, "bag fingerprint is order-insensitive")
+    assert(rows(1L)._2 != rows(2L)._2, "rolling fingerprint is order-sensitive")
   }
 
   test("text: quality features match hand computation") {

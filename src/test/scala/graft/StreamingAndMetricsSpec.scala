@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import graft.data.DocGen
+import graft.engine.{Drift, Stats, Validate}
+import graft.streaming.StreamValidate
+
+class StreamingAndMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stage(table: String): String = {
+    val dir = Files.createTempDirectory(s"graft-stream-$table")
+    Files.copy(Paths.get(s"$sf/$table.parquet"),
+      dir.resolve(s"$table.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("hll sketches: estimates close to exact, merge across halves equals whole") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cols = Seq("doc_id", "lang", "source")
+    val est = Stats.hllEstimates(Stats.hllSketches(docs, cols), cols)
+      .as[(String, Long)].collect().toMap
+    val exact = Map(
+      "doc_id" -> docs.select(countDistinct("doc_id")).as[Long].head(),
+      "lang" -> docs.select(countDistinct("lang")).as[Long].head(),
+      "source" -> docs.select(countDistinct("source")).as[Long].head())
+    cols.foreach { c =>
+      assert(math.abs(est(c) - exact(c)).toDouble / exact(c) < 0.05,
+        s"$c: est ${est(c)} vs exact ${exact(c)}")
+    }
+    // mergeability: sketch(half A) union sketch(half B) ~ sketch(whole)
+    val a = Stats.hllSketches(docs.where(col("doc_id") % 2 === 0), cols)
+    val b = Stats.hllSketches(docs.where(col("doc_id") % 2 === 1), cols)
+    val merged = Stats.hllEstimates(Stats.hllMerge(a, b, cols), cols)
+      .as[(String, Long)].collect().toMap
+    cols.foreach { c =>
+      assert(math.abs(merged(c) - exact(c)).toDouble / exact(c) < 0.05,
+        s"$c merged: ${merged(c)} vs exact ${exact(c)}")
+    }
+  }
+
+  test("drift vs persisted snapshot detects a shift and accepts no-shift") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val snapDir = Files.createTempDirectory("graft-snap").toString
+    Drift.histogramSnapshot(docs, "n_chars", 50.0, 10)
+      .write.mode("overwrite").parquet(snapDir)
+    val snapshot = spark.read.parquet(snapDir)
+    val same = Drift.psiKsAgainstSnapshot(docs, "n_chars", snapshot, 50.0, 10)
+      .as[(String, Double)].collect().toMap
+    assert(same("psi") < 0.01 && same("ks") < 0.01)
+    val shifted = docs.withColumn("n_chars", col("n_chars") + 200)
+    val drift = Drift.psiKsAgainstSnapshot(shifted, "n_chars", snapshot, 50.0, 10)
+      .as[(String, Double)].collect().toMap
+    assert(drift("psi") > 0.5, s"psi ${drift("psi")}")
+    assert(drift("ks") > 0.3, s"ks ${drift("ks")}")
+  }
+
+  test("streaming verdicts over micro-batches equal the batch pass") {
+    val dir = stage("lineitem")
+    val catalog = DocGen.mediaCatalogMap(spark, sf)
+    val q = StreamValidate.verdictStream(spark, dir, catalog)
+      .writeStream.format("memory").queryName("stream_verdicts")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("stream_verdicts")
+    val batch = Validate.verdicts(DocGen.docs(spark, sf), catalog)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("watermarked windowed event counts match the batch aggregation") {
+    val dir = stage("events")
+    val q = StreamValidate.windowedEventCounts(spark, dir)
+      .writeStream.format("memory").queryName("stream_windows")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("stream_windows")
+      .select(col("window.start").as("ws"), col("event_type"), col("n_events"))
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(window(col("ts"), "1 day").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty)
+  }
+}

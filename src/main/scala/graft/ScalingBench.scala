@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.data.DocGen
+import graft.engine.Validate
+
+/** Dedicated scaling-efficiency harness for the north metric.
+  *
+  * The per-query suite times at sf0.1 are 1–3 s and dominated by fixed
+  * planning/scheduling overhead, which makes core-count comparisons noisy.
+  * This main measures ONLY the full-constraint-suite validation pass over
+  * an 8x-replicated doc set (~4.8M docs), 3 repetitions, min — at
+  * local[$SPARK_GRAFT_CPUS]. Run at two core counts and divide for the
+  * N-vs-4N scaling efficiency (BENCH/BASELINE.md).
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val catalog = DocGen.mediaCatalogMap(spark, sfDir)
+    val docs = DocGen.docs(spark, sfDir)
+      .select(explode(sequence(lit(0), lit(mult - 1))).as("rep"),
+        col("doc_id"), col("spans"))
+      .select(concat(col("doc_id"), lit("#"), col("rep")).as("doc_id"), col("spans"))
+    // cache the fanned-out docs: the sandbox parquet is one unsplittable
+    // row group, so its scan (and the fan-out shuffle write) is inherently
+    // single-threaded — a sandbox artifact a real multi-file table doesn't
+    // have. Caching isolates the measured quantity: the validation pass.
+    val cached = docs.cache()
+    val nDocs = cached.count()
+    val verdicts = Validate.verdicts(cached, catalog)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      verdicts.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup (JIT)
+    val best = (1 to reps).map(_ => once()).min
+    println(s"""{"metric":"scaling","cpus":$cpus,"n_docs":$nDocs,"sec":$best,"docs_per_sec":${nDocs / best},"sf":"$sfDir","mult":$mult}""")
+    spark.stop()
+  }
+}

@@ -60,6 +60,16 @@ class EngineSpec extends SparkSpec {
     assert(m("ks") > 0.9)
   }
 
+  test("predicates and projections push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") > 49).select("l_orderkey", "l_quantity")
+    val s = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(s.contains("PushedFilters") && s.contains("GreaterThan(l_quantity"),
+      s"filter must reach the scan:\n$s")
+    assert(!s.contains("l_extendedprice"), "unused columns must be pruned")
+  }
+
   test("derive: censor cascade prefers returned > shipped > order date") {
     val got = Derive.censorDatePerOrder(spark, sf)
     assert(got.where(col("censor_ts").isNull).count() == 0)

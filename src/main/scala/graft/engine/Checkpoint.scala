@@ -24,7 +24,8 @@ object Checkpoint {
 
   final case class Lineage(run_id: String, bucket: Int, n_docs: Long,
                            n_violations: Long, n_rejected: Long,
-                           wall_ms: Long)
+                           n_invalid: Long, n_acceptable: Long, n_valid: Long,
+                           n_distinct_docs_approx: Long, wall_ms: Long)
 
   /** Deliberate failure injection for resume tests. */
   final class InjectedFailure(bucket: Int)
@@ -65,14 +66,18 @@ object Checkpoint {
           col("v.path"), col("v.message"))
       TableIO.write(verdicts, s"$outDir/verdicts/bucket=$b")
       TableIO.write(violations, s"$outDir/violations/bucket=$b")
-      val (nDocs, nRej) = {
-        val r = verdicts.agg(count(lit(1)),
-          sum(when(col("verdict") === "rejected", 1L).otherwise(0L))).collect().head
-        (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
-      }
+      // one wide aggregate per bucket -> the validation-metrics row
+      val m = verdicts.agg(
+        count(lit(1)),
+        sum(when(col("verdict") === "rejected", 1L).otherwise(0L)),
+        sum(when(col("verdict") === "invalid", 1L).otherwise(0L)),
+        sum(when(col("verdict") === "acceptable", 1L).otherwise(0L)),
+        sum(when(col("verdict") === "valid", 1L).otherwise(0L)),
+        approx_count_distinct(col("doc_id"))).collect().head
+      def l(i: Int): Long = Option(m.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
       val nViol = violations.count()
       withV.unpersist()
-      val row = Seq(Lineage(runId, b, nDocs, nViol, nRej,
+      val row = Seq(Lineage(runId, b, l(0), nViol, l(1), l(2), l(3), l(4), l(5),
         (System.nanoTime() - t0) / 1000000)).toDF()
       TableIO.append(row, lineagePath(outDir))
       b

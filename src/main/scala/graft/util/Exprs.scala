@@ -23,9 +23,16 @@ object Exprs {
 
   /** All unordered pairs (a < b) of an array's elements, as
     * array<struct<a,b>> in sorted order — the row-local pair expansion for
-    * bucket-grouped candidate generation (callers guard size >= 2). */
-  def sortedPairs(items: Column): Column =
-    withLet(array_sort(items)) { s =>
+    * bucket-grouped candidate generation (callers guard size >= 2).
+    *
+    * `maxItems` is the skew guard for web scale: a pathological hot bucket
+    * (e.g. a boilerplate shingle shared by millions of docs) would expand
+    * quadratically; it is truncated deterministically to the first
+    * maxItems sorted members instead. Sandbox buckets are far below the
+    * cap (max 19 observed at sf0.1), so exact-oracle comparisons are
+    * unaffected. */
+  def sortedPairs(items: Column, maxItems: Int = 1000): Column =
+    withLet(slice(array_sort(items), 1, maxItems)) { s =>
       flatten(transform(sequence(lit(2), size(s)), i =>
         transform(sequence(lit(1), i - 1), j =>
           struct(element_at(s, j).as("a"), element_at(s, i).as("b")))))

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import graft.streaming.Sessionize
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful sessionization: closed sessions match a batch window computation") {
+    val dir = Files.createTempDirectory("graft-sess")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val gapMs = 6 * 3600 * 1000L // 6h gap
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamValidate.eventsSchema)
+      .parquet(dir.toString)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Sessionize.Event]
+    val q = Sessionize.sessionize(spark, stream, gapMs)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sessions")
+      .select("user_id", "start_ts", "end_ts", "n_events")
+
+    // batch ground truth: gap-based sessions via lag + cumulative session id
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> TZ for epoch math
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") > gapMs / 1000, 1)
+          .otherwise(0))
+      .withColumn("sess", sum("new_sess").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess")
+      .agg(min("ts").as("start_ts"), max("ts").as("end_ts"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_ts", "end_ts", "n_events")
+
+    // the stream emits gap-closed sessions plus any final session whose
+    // event-time timeout fired before end-of-input; a user's final session
+    // may stay open in state. Invariants: everything emitted is a true
+    // session, and every NON-final session is emitted.
+    val lastPerUser = batch
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("end_ts").desc)))
+      .where(col("rn") === 1).drop("rn")
+    val nonFinal = batch.exceptAll(lastPerUser)
+    assert(streamed.exceptAll(batch).isEmpty,
+      "every emitted session must exist in the batch ground truth")
+    assert(nonFinal.exceptAll(streamed).isEmpty,
+      "every gap-closed session must be emitted")
+    assert(streamed.count() >= nonFinal.count() && streamed.count() > 0)
+  }
+}

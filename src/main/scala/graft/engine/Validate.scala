@@ -15,9 +15,20 @@ import graft.rules.{CoreRules, RuleSet}
   */
 object Validate {
 
-  /** docs + `violations` array column (row-local; catalog broadcast as a
-    * map literal). */
+  /** docs + `violations` array column. Default path: the compiled
+    * SpanViolations expression (one pass per row, compiled Scala). The
+    * declarative Column-algebra corpus below is the semantic reference —
+    * CompiledRulesSpec asserts bit-identical outputs, and the streaming
+    * path runs the declarative columns so stream-equals-batch cross-checks
+    * both. */
   def withViolations(docs: DataFrame, catalog: Map[String, String]): DataFrame =
+    docs.withColumn("violations",
+      graft.functions.SpanViolations(col("spans"),
+        catalog.keys.toSeq, DocGen.kindVocab))
+
+  /** Declarative reference implementation (pure Column algebra). */
+  def withViolationsDeclarative(docs: DataFrame,
+                                catalog: Map[String, String]): DataFrame =
     docs.withColumn("violations",
       RuleSet.violationsArray(CoreRules.all(catalog, DocGen.kindVocab)))
 

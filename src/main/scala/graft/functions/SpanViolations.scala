@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.model.Schemas
+
+/** The ENTIRE span rule corpus as one compiled Catalyst expression.
+  *
+  * input:  spans array<struct<kind,text,media_ref,offset>>
+  * output: array<struct<rule_id,severity,path,message>> — bit-identical to
+  *         rules.RuleSet.violationsArray(rules.CoreRules.all(...)), which
+  *         remains the declarative semantic reference (equality asserted in
+  *         CompiledRulesSpec; the streaming path still runs the declarative
+  *         columns, so stream-equals-batch cross-checks both).
+  *
+  * Why: higher-order functions are interpreted expression trees — the
+  * declarative corpus costs ~30 interpreted lambda evaluations per doc.
+  * This single pass over the span array does the identical checks in
+  * compiled Scala. Violation rows are prebuilt constants (rule metadata is
+  * static); downstream consumers copy rows into unsafe buffers, so sharing
+  * the instances is safe.
+  */
+case class SpanViolations(child: Expression, catalogKeys: Seq[String],
+                          vocab: Seq[String])
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(Schemas.violationStruct)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val catalogSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](catalogKeys.size * 2)
+    catalogKeys.foreach(k => s.add(UTF8String.fromString(k)))
+    s
+  }
+  @transient private lazy val vocabSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    vocab.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+  @transient private lazy val KIND_TEXT = UTF8String.fromString("text")
+  @transient private lazy val KIND_MEDIA = UTF8String.fromString("media")
+
+  // prebuilt violation rows, in the SAME order as CoreRules.all
+  private def row(id: String, sev: String, path: String, msg: String) =
+    InternalRow(UTF8String.fromString(id), UTF8String.fromString(sev),
+      UTF8String.fromString(path), UTF8String.fromString(msg))
+  @transient private lazy val V_KIND_PRESENT =
+    row("R_KIND_PRESENT", "error", "spans/kind", "span kind must be present")
+  @transient private lazy val V_TEXT_PRESENT =
+    row("R_TEXT_PRESENT", "error", "spans/text", "text span must carry text")
+  @transient private lazy val V_KIND_VOCAB =
+    row("R_KIND_VOCAB", "error", "spans/kind", "span kind must be in vocabulary")
+  @transient private lazy val V_REF_RESOLVES =
+    row("R_MEDIA_REF_RESOLVES", "fatal", "spans/media_ref",
+      "span media_ref must resolve in media catalog")
+  @transient private lazy val V_TEXT_FORMAT =
+    row("R_TEXT_FORMAT", "error", "spans/text",
+      "header text span must match ^[A-Z]{2}$")
+  @transient private lazy val V_QTY_RANGE =
+    row("R_QTY_RANGE", "error", "spans/text", "numeric text span must be in [1,50]")
+  @transient private lazy val V_MEDIA_NO_TEXT =
+    row("R_MEDIA_NO_TEXT", "warning", "spans/text", "media span must not carry text")
+  @transient private lazy val V_OFFSET_ORDER =
+    row("R_OFFSET_ORDER", "error", "spans/offset",
+      "span offsets must be strictly increasing")
+  @transient private lazy val V_SPAN_COUNT =
+    row("R_SPAN_COUNT", "error", "spans", "doc must contain between 1 and 8 spans")
+  @transient private lazy val V_HAS_MEDIA =
+    row("R_HAS_MEDIA", "info", "spans", "doc carries no media span")
+
+  private def isUpper2(s: UTF8String): Boolean = {
+    if (s.numBytes != 2) return false
+    val b = s.getBytes
+    b(0) >= 'A' && b(0) <= 'Z' && b(1) >= 'A' && b(1) <= 'Z'
+  }
+
+  /** digits-only parse; >9 digits counts as out-of-range (never in data). */
+  private def numericValue(s: UTF8String): Long = {
+    val b = s.getBytes
+    if (b.length == 0 || b.length > 9) return -1L
+    var v = 0L
+    var i = 0
+    while (i < b.length) {
+      if (b(i) < '0' || b(i) > '9') return -1L
+      v = v * 10 + (b(i) - '0')
+      i += 1
+    }
+    v
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val spans = input.asInstanceOf[ArrayData]
+    val n = spans.numElements()
+    var kindNull, textMissing, badVocab, dangling, badFormat, badRange = false
+    var mediaWithText, outOfOrder, hasMedia = false
+    var prevOffset = Int.MinValue
+    var i = 0
+    while (i < n) {
+      val s = spans.getStruct(i, 4)
+      val kind = if (s.isNullAt(0)) null else s.getUTF8String(0)
+      val text = if (s.isNullAt(1)) null else s.getUTF8String(1)
+      val ref = if (s.isNullAt(2)) null else s.getUTF8String(2)
+      val offset = s.getInt(3)
+      if (kind == null) kindNull = true
+      else {
+        if (!vocabSet.contains(kind)) badVocab = true
+        if (kind.equals(KIND_TEXT)) {
+          if (text == null) textMissing = true
+          else {
+            if (offset == 0 && !isUpper2(text)) badFormat = true
+            // only digit-only strings participate in the range rule
+            val v = numericValue(text)
+            if (v >= 0 && (v < 1 || v > 50)) badRange = true
+            else if (v == -1L && text.numBytes > 9 && allDigits(text)) badRange = true
+          }
+        } else if (kind.equals(KIND_MEDIA)) {
+          hasMedia = true
+          if (text != null) mediaWithText = true
+        }
+      }
+      if (ref != null && !catalogSet.contains(ref)) dangling = true
+      if (i > 0 && offset <= prevOffset) outOfOrder = true
+      prevOffset = offset
+      i += 1
+    }
+    val out = new java.util.ArrayList[AnyRef](4)
+    if (kindNull) out.add(V_KIND_PRESENT)
+    if (textMissing) out.add(V_TEXT_PRESENT)
+    if (badVocab) out.add(V_KIND_VOCAB)
+    if (dangling) out.add(V_REF_RESOLVES)
+    if (badFormat) out.add(V_TEXT_FORMAT)
+    if (badRange) out.add(V_QTY_RANGE)
+    if (mediaWithText) out.add(V_MEDIA_NO_TEXT)
+    if (outOfOrder) out.add(V_OFFSET_ORDER)
+    if (n < 1 || n > 8) out.add(V_SPAN_COUNT)
+    if (!hasMedia) out.add(V_HAS_MEDIA)
+    new GenericArrayData(out.toArray)
+  }
+
+  private def allDigits(s: UTF8String): Boolean = {
+    val b = s.getBytes
+    var i = 0
+    while (i < b.length) { if (b(i) < '0' || b(i) > '9') return false; i += 1 }
+    b.length > 0
+  }
+
+  override protected def withNewChildInternal(c: Expression): SpanViolations =
+    copy(child = c)
+  override def prettyName: String = "span_violations"
+}
+
+object SpanViolations {
+  import org.apache.spark.sql.GraftBridge
+  def apply(spans: Column, catalogKeys: Seq[String], vocab: Seq[String]): Column =
+    GraftBridge.column(
+      SpanViolations(GraftBridge.expression(spans), catalogKeys, vocab))
+}

@@ -104,6 +104,8 @@ object SparkEntry {
       ops.Similarity.cosineTopK(graft.data.Tables.read(s, d, "embeddings"))),
     "sim_ann_lsh" -> ((s, d) =>
       ops.Similarity.annLshTopK(graft.data.Tables.read(s, d, "embeddings"))),
+    "sim_ann_ivf" -> ((s, d) =>
+      ops.Similarity.ivfTopK(graft.data.Tables.read(s, d, "embeddings"))),
     // ---- training-data pipeline: text analysis ----------------------------
     "text_langid" -> ((s, d) =>
       ops.TextAnalysis.langId(graft.data.Tables.read(s, d, "documents"))),

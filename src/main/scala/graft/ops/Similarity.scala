@@ -37,6 +37,44 @@ object Similarity {
         round(col("score"), 6).as("score_r"))
   }
 
+  /** IVF-style ANN: a coarse quantizer of nCells deterministic seed
+    * centroids (the first nCells corpus vectors); every candidate is
+    * assigned to its nearest centroid once (inverted lists), queries probe
+    * only their nProbe nearest cells and re-rank exactly inside them. The
+    * scan cost per query drops from O(corpus) to O(corpus * nProbe/nCells).
+    * At web scale the seed step becomes a k-means job and lists become a
+    * bucketed table; the probe/re-rank shape is identical. */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = prepared(emb)
+    val centroids = e.where(col("vec_id") >= nQueries &&
+        col("vec_id") < nQueries + nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cn"))
+    def nearestCells(points: DataFrame, idCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("cscore").desc, col("cell_id").asc)
+      points.crossJoin(broadcast(centroids))
+        .withColumn("cscore", dot(col("v"), col("cv")) / (col("norm") * col("cn")))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") <= n)
+        .drop("cv", "cn", "cscore", "crank")
+    }
+    val q = nearestCells(
+      e.where(col("vec_id") < nQueries), "vec_id", nProbe)
+      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("cell_id"))
+    val c = nearestCells(e.where(col("vec_id") >= nQueries), "vec_id", 1)
+    val w = Window.partitionBy("q_vec_id").orderBy(col("score").desc, col("n_vec_id").asc)
+    c.join(broadcast(q), Seq("cell_id"))
+      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .groupBy(col("q_vec_id"), col("vec_id").as("n_vec_id"))
+      .agg(max(col("score")).as("score")) // dedupe multi-probe hits
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_vec_id"), col("rank"), col("n_vec_id"),
+        round(col("score"), 6).as("score_r"))
+  }
+
   /** Random-hyperplane signature: bit j = sign of <v, h_j> where h_j has
     * deterministic +-1 components derived from xxhash64(seedOffset+j,
     * component index). Different seedOffsets give independent hash tables. */

@@ -78,6 +78,16 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN recall too low: $recall (single-probe 8-bit LSH)")
   }
 
+  test("similarity: IVF probes recover a reasonable share of exact top-k") {
+    val exact = Similarity.cosineTopK(embeddings, k = 5)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(embeddings, k = 5)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall too low: $recall (16 cells, 4 probes)")
+    assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
   test("text: fingerprints match hand computation; rolling is order-sensitive") {
     val df = Seq((1L, "ab cd"), (2L, "cd ab")).toDF("doc_id", "text")
     def h(w: String) = 31 * w.length + 7 * w.head.toInt + w.last.toInt

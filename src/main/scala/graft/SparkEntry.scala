@@ -70,6 +70,15 @@ object SparkEntry {
     "drift_psi_ks" -> ((s, d) =>
       Drift.psiKs(graft.data.Tables.read(s, d, "documents"), "n_chars",
         col("doc_id") % 2 === 1, 50.0, 10)),
+    // exact interpolated quantiles (Spark percentile == SQL quantile_cont)
+    "stats_quantiles" -> ((s, d) =>
+      graft.data.Tables.read(s, d, "documents").agg(
+        expr("percentile(n_chars, 0.25D)").as("q25"),
+        expr("percentile(n_chars, 0.5D)").as("q50"),
+        expr("percentile(n_chars, 0.75D)").as("q75"),
+        expr("percentile(n_chars, 0.9D)").as("q90"))
+        .select(lit("n_chars").as("col_name"), col("q25"), col("q50"),
+          col("q75"), col("q90"))),
     // mergeable HLL sketches (approximate -> rows-only check, no oracle)
     "stats_hll" -> ((s, d) => {
       val cols = Seq("doc_id", "text", "lang", "source")
@@ -106,6 +115,10 @@ object SparkEntry {
       ops.Similarity.annLshTopK(graft.data.Tables.read(s, d, "embeddings"))),
     "sim_ann_ivf" -> ((s, d) =>
       ops.Similarity.ivfTopK(graft.data.Tables.read(s, d, "embeddings"))),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      ops.Similarity.cosineNearDupPairs(
+        ops.Similarity.corpusWithNearDupVecs(
+          graft.data.Tables.read(s, d, "embeddings")))),
     // ---- training-data pipeline: text analysis ----------------------------
     "text_langid" -> ((s, d) =>
       ops.TextAnalysis.langId(graft.data.Tables.read(s, d, "documents"))),
@@ -228,6 +241,13 @@ object SparkEntry {
              |CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v
              |FROM documents""".stripMargin
         }.mkString("\nUNION ALL\n"),
+      "stats_quantiles" ->
+        """SELECT 'n_chars' AS col_name,
+          |       quantile_cont(n_chars, 0.25) AS q25,
+          |       quantile_cont(n_chars, 0.5) AS q50,
+          |       quantile_cont(n_chars, 0.75) AS q75,
+          |       quantile_cont(n_chars, 0.9) AS q90
+          |FROM documents""".stripMargin,
       "stats_histogram" ->
         """SELECT CAST(least(greatest(floor(n_chars/50.0), 0), 9) AS BIGINT) AS bucket,
           |       count(*) AS cnt
@@ -288,6 +308,23 @@ object SparkEntry {
           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           |WHERE 10 * len(list_intersect(a.sh, b.sh))
           |   >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))""".stripMargin),
+      // oracle: exhaustive all-pairs cosine on the same injected corpus
+      // (candidate-generation misses are ~1e-6 at this similarity level
+      // and verified empirically at sf0.01)
+      "dedup_embedding_cosine" ->
+        """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |corpus AS (
+          |  SELECT vec_id, v FROM base
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |         list_transform(generate_series(1, len(v)),
+          |           i -> CASE WHEN i=1 THEN v[1]*2 ELSE v[i] END)
+          |  FROM base WHERE vec_id%25=0),
+          |e AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS n FROM corpus)
+          |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+          |       round(list_dot_product(a.v,b.v)/(a.n*b.n), 6) AS score_r
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |WHERE list_dot_product(a.v,b.v)/(a.n*b.n) >= 0.9""".stripMargin,
       "sim_topk_bruteforce" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |q AS (SELECT vec_id AS q_vec_id, v AS qv, sqrt(list_dot_product(v,v)) AS qn

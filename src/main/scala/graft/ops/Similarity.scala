@@ -37,6 +37,44 @@ object Similarity {
         round(col("score"), 6).as("score_r"))
   }
 
+  /** embeddings + near-duplicate copies (first component doubled, id
+    * offset 1M) — deterministic and ANSI-SQL-expressible for the oracle. */
+  def corpusWithNearDupVecs(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    base.unionAll(
+      base.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("v"), (x, i) => when(i === 0, x * 2).otherwise(x)).as("v")))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the embedding flavor of dedup):
+    * multi-table LSH buckets generate candidates (grouped row-local pair
+    * expansion — never all-pairs), exact cosine verifies >= threshold.
+    * Same scale shape as Dedup.minhashLshPairs. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.9,
+                         nBits: Int = 6, nTables: Int = 8): DataFrame = {
+    val e = emb.withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val buckets = array((0 until nTables).map(t =>
+      lshBucket(col("v"), nBits, seedOffset = t * nBits)): _*)
+    val banded = e
+      .select(col("vec_id"), posexplode_outer(buckets).as(Seq("table", "bucket")))
+      .where(col("bucket").isNotNull)
+    val candidates = banded
+      .groupBy(col("table"), col("bucket"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"))
+      .distinct()
+    val a = e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("norm").as("nb"))
+    candidates.join(broadcast(a), "vec_id_a").join(broadcast(b), "vec_id_b")
+      .withColumn("score", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("score") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), round(col("score"), 6).as("score_r"))
+  }
+
   /** IVF-style ANN: a coarse quantizer of nCells deterministic seed
     * centroids (the first nCells corpus vectors); every candidate is
     * assigned to its nearest centroid once (inverted lists), queries probe

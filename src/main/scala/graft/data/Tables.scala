@@ -14,8 +14,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unsplit — repartitioning a broadcast input is pure overhead.
   */
 object Tables {
+
+  /** Reads a fact table, fanning out ONLY when the scan is starved for
+    * parallelism (fewer scan partitions than cores). A production table
+    * already splits into >= parallelism partitions, so this path adds no
+    * Exchange there — the repartition must never sit unconditionally on the
+    * production path (it would full-shuffle 100 TB before any work). */
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.repartition(spark.sparkContext.defaultParallelism)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

@@ -22,7 +22,8 @@ import graft.data.DocGen
   */
 object Checkpoint {
 
-  final case class Lineage(run_id: String, bucket: Int, n_docs: Long,
+  final case class Lineage(run_id: String, bucket: Int, n_buckets: Int,
+                           input_id: String, n_docs: Long,
                            n_violations: Long, n_rejected: Long,
                            n_invalid: Long, n_acceptable: Long, n_valid: Long,
                            n_distinct_docs_approx: Long, wall_ms: Long)
@@ -33,10 +34,38 @@ object Checkpoint {
 
   def lineagePath(outDir: String) = s"$outDir/lineage"
 
-  def completedBuckets(spark: SparkSession, outDir: String): Set[Int] =
-    if (!new java.io.File(lineagePath(outDir)).exists()) Set.empty
-    else TableIO.read(spark, lineagePath(outDir))
-      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+  /** Buckets already completed for THIS (input, nBuckets) configuration.
+    *
+    * Resume safety: bucket membership is a function of (doc_id, nBuckets)
+    * over a specific input, so lineage rows record both and a resume under a
+    * different bucketing or input FAILS FAST instead of silently skipping
+    * buckets whose membership changed. Existence is probed through the
+    * Hadoop FileSystem API (lineage may live on HDFS/S3, not a local disk).
+    */
+  def completedBuckets(spark: SparkSession, outDir: String,
+                       nBuckets: Option[Int] = None,
+                       inputId: Option[String] = None): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(lineagePath(outDir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else {
+      val rows = TableIO.read(spark, lineagePath(outDir))
+        .select("bucket", "n_buckets", "input_id").distinct().collect()
+      for (r <- rows) {
+        nBuckets.filter(_ != r.getInt(1)).foreach { n =>
+          throw new IllegalStateException(
+            s"checkpoint at $outDir was written with nBuckets=${r.getInt(1)}, " +
+              s"cannot resume with nBuckets=$n")
+        }
+        inputId.filter(_ != r.getString(2)).foreach { in =>
+          throw new IllegalStateException(
+            s"checkpoint at $outDir was written for input '${r.getString(2)}', " +
+              s"cannot resume over input '$in'")
+        }
+      }
+      rows.map(_.getInt(0)).toSet
+    }
+  }
 
   /** Run (or resume) a bucketed validation pass. Returns buckets processed
     * this invocation. */
@@ -45,7 +74,7 @@ object Checkpoint {
           failBeforeBucket: Option[Int] = None): Seq[Int] = {
     import spark.implicits._
     val catalog = DocGen.mediaCatalogMap(spark, sfDir)
-    val done = completedBuckets(spark, outDir)
+    val done = completedBuckets(spark, outDir, Some(nBuckets), Some(sfDir))
     val todo = (0 until nBuckets).filterNot(done)
     todo.map { b =>
       failBeforeBucket.filter(_ == b).foreach(fb => throw new InjectedFailure(fb))
@@ -77,7 +106,8 @@ object Checkpoint {
       def l(i: Int): Long = Option(m.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
       val nViol = violations.count()
       withV.unpersist()
-      val row = Seq(Lineage(runId, b, l(0), nViol, l(1), l(2), l(3), l(4), l(5),
+      val row = Seq(Lineage(runId, b, nBuckets, sfDir, l(0), nViol,
+        l(1), l(2), l(3), l(4), l(5),
         (System.nanoTime() - t0) / 1000000)).toDF()
       TableIO.append(row, lineagePath(outDir))
       b

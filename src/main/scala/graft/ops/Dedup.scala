@@ -90,10 +90,19 @@ object Dedup {
       .where(col("p").isNotNull)
       .groupBy(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
       .agg(count(lit(1)).cast("int").as("n_inter"))
+    // size lookup: semi-join the per-doc size table down to just the pair
+    // participants first — `sizes` is one row per corpus doc, so a broadcast
+    // hint on it would OOM the driver at 10^12 docs. `pairIds` is tiny
+    // (candidates only), so AQE broadcasts IT, the corpus never shuffles,
+    // and the two remaining joins are against a candidate-sized table.
+    val pairIds = pairs
+      .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
+      .distinct()
+    val candSizes = sizes.join(pairIds, "doc_id")
     pairs
-      .join(broadcast(sizes.select(col("doc_id").as("doc_id_a"), col("n").as("na"))),
+      .join(candSizes.select(col("doc_id").as("doc_id_a"), col("n").as("na")),
         "doc_id_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_id_b"), col("n").as("nb"))),
+      .join(candSizes.select(col("doc_id").as("doc_id_b"), col("n").as("nb")),
         "doc_id_b")
       .select(col("doc_id_a"), col("doc_id_b"), col("n_inter"),
         (col("na") + col("nb") - col("n_inter")).as("n_union"))
@@ -141,13 +150,21 @@ object Dedup {
       .distinct()
     // exact verify: intersect 64-bit-hashed shingle sets (hashing preserves
     // distinct counts up to ~1e-14 collision odds; long intersects are far
-    // cheaper than string intersects). The per-doc shingle table is tiny ->
-    // broadcast, so pair arrays never shuffle and each doc is shingled once.
+    // cheaper than string intersects). The shingled table is one row per
+    // corpus doc — never broadcast-hint it (driver OOM at 10^12 docs).
+    // Instead semi-join it down to candidate participants: `candIds` is
+    // candidate-sized, AQE broadcasts it into the corpus scan (no corpus
+    // shuffle), and the two verify joins run against a candidate-sized
+    // table that AQE is free to broadcast when it genuinely fits.
     val shingled = corpus.select(col("doc_id"),
       transform(shingles(col("text")), s => xxhash64(s)).as("sh"))
-    val a = shingled.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val b = shingled.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    candidates.join(broadcast(a), "doc_id_a").join(broadcast(b), "doc_id_b")
+    val candIds = candidates
+      .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
+      .distinct()
+    val candShingled = shingled.join(candIds, "doc_id")
+    val a = candShingled.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val b = candShingled.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    candidates.join(a, "doc_id_a").join(b, "doc_id_b")
       .select(
         col("doc_id_a") +: col("doc_id_b") +:
           pairStats(col("sh_a"), col("sh_b")): _*)
@@ -170,6 +187,16 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.SimHash64(tokens(col("text"))).as("sim"))
 
+  /** Scale shape: a raw self-join on (chunk, cv) has a key space of only
+    * 8 x 256 values — at 10^9+ docs every bucket holds ~n/256 rows and the
+    * join goes quadratic. Instead each (chunk, cv) bucket is grouped and
+    * pairs materialize row-locally with the deterministic `sortedPairs`
+    * hot-bucket cap: beyond-cap members of one chunk's bucket are still
+    * found through any of their other 7 chunks (a pair is missed only if
+    * BOTH docs fall beyond the cap in ALL 8 chunk buckets). The `sim`
+    * value rides along inside the bucket list, so the Hamming verify needs
+    * no join at all. Sandbox buckets are far below the cap, keeping the
+    * OpsSpec all-pairs equality exact. */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 7): DataFrame = {
     val sims = simhashes(corpus)
     val chunkStructs = (0 until 8).map(ci =>
@@ -180,15 +207,16 @@ object Dedup {
       explode_outer(array(chunkStructs: _*)).as("ch"))
       .where(col("ch").isNotNull)
       .select(col("doc_id"), col("sim"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
-    val l = chunked.alias("l")
-    val r = chunked.alias("r")
-    l.join(r,
-        col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
-          col("l.doc_id") < col("r.doc_id"))
+    chunked
+      .groupBy(col("chunk"), col("cv"))
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
+      .where(size(col("members")) > 1)
+      .select(explode_outer(graft.util.Exprs.sortedPairs(col("members"))).as("p"))
+      .where(col("p").isNotNull)
       .select(
-        col("l.doc_id").as("doc_id_a"), col("r.doc_id").as("doc_id_b"),
-        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
-      .distinct()
+        col("p.a.doc_id").as("doc_id_a"), col("p.b.doc_id").as("doc_id_b"),
+        bit_count(col("p.a.sim").bitwiseXOR(col("p.b.sim"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

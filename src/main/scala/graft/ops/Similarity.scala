@@ -67,9 +67,18 @@ object Similarity {
       .where(col("p").isNotNull)
       .select(col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"))
       .distinct()
-    val a = e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("norm").as("nb"))
-    candidates.join(broadcast(a), "vec_id_a").join(broadcast(b), "vec_id_b")
+    // verify lookup: `e` is one row per corpus vector — a broadcast hint on
+    // it would OOM the driver at web scale. Semi-join it down to candidate
+    // participants (candIds is candidate-sized, AQE broadcasts it into the
+    // scan), then verify against the candidate-sized table with plain
+    // equi-joins; AQE picks broadcast when it genuinely fits.
+    val candIds = candidates
+      .select(explode(array(col("vec_id_a"), col("vec_id_b"))).as("vec_id"))
+      .distinct()
+    val candVecs = e.join(candIds, "vec_id")
+    val a = candVecs.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na"))
+    val b = candVecs.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("norm").as("nb"))
+    candidates.join(a, "vec_id_a").join(b, "vec_id_b")
       .withColumn("score", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("score") >= threshold)
       .select(col("vec_id_a"), col("vec_id_b"), round(col("score"), 6).as("score_r"))

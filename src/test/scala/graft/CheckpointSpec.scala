@@ -36,4 +36,17 @@ class CheckpointSpec extends SparkSpec {
     assert(Checkpoint.run(spark, sf, dir, nBuckets = 4).size == 4)
     assert(Checkpoint.run(spark, sf, dir, nBuckets = 4).isEmpty)
   }
+
+  test("resume under a different bucketing or input fails fast") {
+    val dir = Files.createTempDirectory("graft-ckpt3").toString
+    assert(Checkpoint.run(spark, sf, dir, nBuckets = 4).size == 4)
+    // nBuckets changed: bucket membership differs -> must not silently skip
+    intercept[IllegalStateException] {
+      Checkpoint.run(spark, sf, dir, nBuckets = 8)
+    }
+    // input changed: lineage is for another table snapshot
+    intercept[IllegalStateException] {
+      Checkpoint.run(spark, "/root/testdata/sf0.01", dir, nBuckets = 4)
+    }
+  }
 }

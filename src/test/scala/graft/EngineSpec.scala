@@ -70,6 +70,25 @@ class EngineSpec extends SparkSpec {
     assert(!s.contains("l_extendedprice"), "unused columns must be pruned")
   }
 
+  test("fact read adds no shuffle when the scan already splits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tables").toString
+    spark.range(20000).selectExpr("id AS l_orderkey").repartition(8)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val oldOpen = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try {
+      val df = graft.data.Tables.read(spark, dir, "lineitem")
+      assert(df.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+      assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        "a multi-partition input must not be repartitioned on the read path")
+    } finally {
+      spark.conf.set("spark.sql.files.openCostInBytes", oldOpen)
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        String.valueOf(128 * 1024 * 1024))
+    }
+  }
+
   test("derive: censor cascade prefers returned > shipped > order date") {
     val got = Derive.censorDatePerOrder(spark, sf)
     assert(got.where(col("censor_ts").isNull).count() == 0)

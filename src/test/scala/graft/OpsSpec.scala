@@ -57,6 +57,26 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got == exact)
   }
 
+  test("dedup/similarity verify joins never hint a corpus-side broadcast") {
+    // The verify stage must not force-broadcast any per-doc table (driver
+    // OOM at 10^12 docs): the optimized plan carries NO join hints at all —
+    // AQE remains free to pick broadcast at runtime when a side truly fits.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def assertNoHints(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val hints = df.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+        .filter(h => h.leftHint.nonEmpty || h.rightHint.nonEmpty)
+      assert(hints.isEmpty, s"$name forces a join strategy: $hints")
+    }
+    assertNoHints(Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(documents)),
+      "dedup_ngram_jaccard")
+    assertNoHints(Dedup.minhashLshPairs(Dedup.corpusWithNearDups(documents)),
+      "dedup_minhash_lsh")
+    assertNoHints(Dedup.simhashPairs(Dedup.corpusWithNearDups(documents)),
+      "dedup_simhash")
+    assertNoHints(Similarity.cosineNearDupPairs(
+      Similarity.corpusWithNearDupVecs(embeddings)), "dedup_embedding_cosine")
+  }
+
   test("similarity: brute-force top-k is sane (self-similarity, ranks)") {
     // append a copy of query vec 0 as a candidate: it must rank first with score 1
     val probe = embeddings.unionAll(

@@ -98,34 +98,48 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
     val n = spans.numElements()
     var kindNull, textMissing, badVocab, dangling, badFormat, badRange = false
     var mediaWithText, outOfOrder, hasMedia = false
-    var prevOffset = Int.MinValue
+    // SQL-null-semantics ordering: a comparison against a null span (or null
+    // offset) is NULL in the declarative corpus and never fires the rule, so
+    // both neighbor pairs of such an element are skipped here too.
+    var havePrev = false
+    var prevOffset = 0
     var i = 0
     while (i < n) {
-      val s = spans.getStruct(i, 4)
-      val kind = if (s.isNullAt(0)) null else s.getUTF8String(0)
-      val text = if (s.isNullAt(1)) null else s.getUTF8String(1)
-      val ref = if (s.isNullAt(2)) null else s.getUTF8String(2)
-      val offset = s.getInt(3)
-      if (kind == null) kindNull = true
-      else {
-        if (!vocabSet.contains(kind)) badVocab = true
-        if (kind.equals(KIND_TEXT)) {
-          if (text == null) textMissing = true
-          else {
-            if (offset == 0 && !isUpper2(text)) badFormat = true
-            // only digit-only strings participate in the range rule
-            val v = numericValue(text)
-            if (v >= 0 && (v < 1 || v > 50)) badRange = true
-            else if (v == -1L && text.numBytes > 9 && allDigits(text)) badRange = true
+      if (spans.isNullAt(i)) {
+        // a null span element reads as kind IS NULL declaratively
+        kindNull = true
+        havePrev = false
+      } else {
+        val s = spans.getStruct(i, 4)
+        val kind = if (s.isNullAt(0)) null else s.getUTF8String(0)
+        val text = if (s.isNullAt(1)) null else s.getUTF8String(1)
+        val ref = if (s.isNullAt(2)) null else s.getUTF8String(2)
+        val hasOffset = !s.isNullAt(3)
+        val offset = if (hasOffset) s.getInt(3) else 0
+        if (kind == null) kindNull = true
+        else {
+          if (!vocabSet.contains(kind)) badVocab = true
+          if (kind.equals(KIND_TEXT)) {
+            if (text == null) textMissing = true
+            else {
+              if (hasOffset && offset == 0 && !isUpper2(text)) badFormat = true
+              // only digit-only strings participate in the range rule
+              val v = numericValue(text)
+              if (v >= 0 && (v < 1 || v > 50)) badRange = true
+              else if (v == -1L && text.numBytes > 9 && allDigits(text)) badRange = true
+            }
+          } else if (kind.equals(KIND_MEDIA)) {
+            hasMedia = true
+            if (text != null) mediaWithText = true
           }
-        } else if (kind.equals(KIND_MEDIA)) {
-          hasMedia = true
-          if (text != null) mediaWithText = true
         }
+        if (ref != null && !catalogSet.contains(ref)) dangling = true
+        if (hasOffset) {
+          if (havePrev && offset <= prevOffset) outOfOrder = true
+          prevOffset = offset
+          havePrev = true
+        } else havePrev = false
       }
-      if (ref != null && !catalogSet.contains(ref)) dangling = true
-      if (i > 0 && offset <= prevOffset) outOfOrder = true
-      prevOffset = offset
       i += 1
     }
     val out = new java.util.ArrayList[AnyRef](4)

@@ -62,12 +62,21 @@ object CoreRules {
         exists(spans, s =>
           kind(s) === "text" && off(s) === 0 && text(s).isNotNull &&
             !text(s).rlike("^[A-Z]{2}$"))),
-      // numeric range family (ClosedInterval checks, MTBValidators.scala:363,442-444)
+      // numeric range family (ClosedInterval checks, MTBValidators.scala:363,442-444).
+      // ANSI-safe: a bare cast("int") THROWS under Spark 4 ANSI mode for
+      // digit-only text beyond Int range (e.g. '99999999999'), crashing the
+      // query instead of flagging the doc. The when() guard keeps the cast
+      // unreachable above 18 digits (<= 18 digits always fits a long), and
+      // any digits-only value longer than that is out-of-range by
+      // definition — matching SpanViolations.numericValue overflow
+      // semantics exactly.
       Rule("R_QTY_RANGE", "error", "spans/text",
         "numeric text span must be in [1,50]",
         exists(spans, s =>
           kind(s) === "text" && text(s).isNotNull && text(s).rlike("^[0-9]+$") &&
-            !text(s).cast("int").between(1, 50))),
+            (length(text(s)) > 18 ||
+              !when(length(text(s)) <= 18, text(s).cast("bigint"))
+                .between(1, 50)))),
       // conditional / cross-field family (status-conditional V9/V28,
       // MTBValidators.scala:279-320,639-644)
       Rule("R_MEDIA_NO_TEXT", "warning", "spans/text",

@@ -41,4 +41,34 @@ class CompiledRulesSpec extends SparkSpec {
     val b = Validate.withViolationsDeclarative(edge, catalog).select("doc_id", "violations")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("malformed docs: null span elements and overflow numerics don't crash") {
+    import spark.implicits._
+    import graft.model.{Doc, Span}
+    val edge = Seq(
+      // null span element: reads as kind IS NULL; ordering pairs touching it skip
+      Doc("n1", Seq(Span(Some("text"), Some("AB"), None, 0), null,
+        Span(Some("text"), Some("7"), None, 20))),
+      Doc("n2", Seq(null, null)),
+      // 11 digits: ANSI int cast would throw; must flag out-of-range instead
+      Doc("o1", Seq(Span(Some("text"), Some("99999999999"), None, 0))),
+      // 23 digits: beyond long range too
+      Doc("o2", Seq(Span(Some("text"), Some("12345678901234567890123"), None, 0)))
+    ).toDS().toDF()
+    val catalog = Map("m1" -> "image")
+    val a = Validate.withViolations(edge, catalog).select("doc_id", "violations")
+    val b = Validate.withViolationsDeclarative(edge, catalog).select("doc_id", "violations")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val fired = Validate.violations(edge, catalog)
+      .select("doc_id", "rule_id").as[(String, String)].collect().toSet
+    assert(fired.contains(("n1", "R_KIND_PRESENT")))
+    assert(!fired.contains(("n1", "R_OFFSET_ORDER")))
+    assert(fired.contains(("o1", "R_QTY_RANGE")))
+    assert(fired.contains(("o2", "R_QTY_RANGE")))
+    // declarative streaming path runs the same corpus without crashing
+    val bFired = Validate.withViolationsDeclarative(edge, catalog)
+      .select(col("doc_id"), explode(col("violations.rule_id")).as("rule_id"))
+      .as[(String, String)].collect().toSet
+    assert(bFired.contains(("o1", "R_QTY_RANGE")))
+  }
 }

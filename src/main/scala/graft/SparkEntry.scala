@@ -145,22 +145,39 @@ object SparkEntry {
       "validate_violations" -> (liCte +
         """
           |SELECT doc_id, 'R_KIND_PRESENT' AS rule_id, 'error' AS severity, 'spans/kind' AS path, 'span kind must be present' AS message FROM li WHERE ok%89=0 AND ok%71<>0
+          |UNION ALL SELECT doc_id, 'R_TEXT_PRESENT', 'error', 'spans/text', 'text span must carry text' FROM li WHERE ok%53=0 AND ok%71<>0
           |UNION ALL SELECT doc_id, 'R_KIND_VOCAB', 'error', 'spans/kind', 'span kind must be in vocabulary' FROM li WHERE ok%83=0 AND ok%71<>0
           |UNION ALL SELECT doc_id, 'R_MEDIA_REF_RESOLVES', 'fatal', 'spans/media_ref', 'span media_ref must resolve in media catalog' FROM li WHERE ok%79=0 AND ok%71<>0
-          |UNION ALL SELECT doc_id, 'R_TEXT_FORMAT', 'error', 'spans/text', 'header text span must match ^[A-Z]{2}$' FROM li WHERE ok%73=0 AND ok%89<>0 AND ok%71<>0
-          |UNION ALL SELECT doc_id, 'R_QTY_RANGE', 'error', 'spans/text', 'numeric text span must be in [1,50]' FROM li WHERE ok%61=0 AND ok%71<>0
+          |UNION ALL SELECT doc_id, 'R_TEXT_FORMAT', 'error', 'spans/text', 'header text span must match ^[A-Z]{2}$' FROM li WHERE ok%73=0 AND ok%89<>0 AND ok%43<>0 AND ok%71<>0
+          |UNION ALL SELECT doc_id, 'R_QTY_RANGE', 'error', 'spans/text', 'numeric text span must be in [1,50]' FROM li WHERE ok%61=0 AND ok%53<>0 AND ok%71<>0
           |UNION ALL SELECT doc_id, 'R_MEDIA_NO_TEXT', 'warning', 'spans/text', 'media span must not carry text' FROM li WHERE ok%67=0 AND ok%83<>0 AND ok%71<>0
-          |UNION ALL SELECT doc_id, 'R_OFFSET_ORDER', 'error', 'spans/offset', 'span offsets must be strictly increasing' FROM li WHERE ok%97=0 AND ok%71<>0
+          |UNION ALL SELECT doc_id, 'R_OFFSET_ORDER', 'error', 'spans/offset', 'span offsets must be strictly increasing' FROM li WHERE (ok%97=0 OR ok%59=0) AND ok%71<>0
           |UNION ALL SELECT doc_id, 'R_SPAN_COUNT', 'error', 'spans', 'doc must contain between 1 and 8 spans' FROM li WHERE ok%71=0
-          |UNION ALL SELECT doc_id, 'R_HAS_MEDIA', 'info', 'spans', 'doc carries no media span' FROM li WHERE ok%71=0 OR ok%83=0""".stripMargin),
+          |UNION ALL SELECT doc_id, 'R_HAS_MEDIA', 'info', 'spans', 'doc carries no media span' FROM li WHERE ok%71=0 OR (ok%83=0 AND ok%47<>0)
+          |UNION ALL SELECT doc_id, 'R_ONE_HEADER', 'error', 'spans', 'doc must contain exactly one header text span at offset 0' FROM li WHERE ok%71=0 OR ((ok%89=0 OR ok%43=0) AND ok%59<>0) OR (ok%89<>0 AND ok%43<>0 AND ok%59=0)
+          |UNION ALL SELECT doc_id, 'R_TAIL_EITHER_OR', 'error', 'spans', 'every non-initial span must carry text or a media_ref' FROM li WHERE ok%53=0 AND ok%71<>0 AND NOT(ok%43=0 AND ok%97=0 AND ok%59<>0)
+          |UNION ALL SELECT doc_id, 'R_TEXT_MEDIA_BALANCE', 'error', 'spans', 'doc must carry at least as many text spans as media spans' FROM li WHERE ok%71<>0 AND ok%47=0 AND ((ok%83=0 AND ok%89=0 AND ok%59<>0) OR (ok%83<>0 AND (ok%89=0 OR ok%59<>0)))
+          |UNION ALL SELECT doc_id, 'R_CLASSIFIED', 'error', 'spans', 'doc must carry a header text span or a media span' FROM li WHERE ok%71=0 OR ((ok%89=0 OR ok%43=0) AND ok%59<>0 AND ok%83=0 AND ok%47<>0)
+          |UNION ALL SELECT doc_id, 'R_HEADER_OFFSET_EQ', 'error', 'spans/offset', 'first span must start at the expected offset 0' FROM li WHERE ok%43=0 AND ok%71<>0
+          |UNION ALL SELECT doc_id, 'R_REF_VERSION', 'error', 'spans/media_ref', 'media_ref must resolve in its version''s catalog (fallback latest)' FROM li WHERE ok%71<>0 AND (ok%79=0 OR (ok%41=0 AND (pk%1000)%2=1))""".stripMargin),
       "validate_verdicts" -> (liCte +
         """, f AS (SELECT doc_id,
           |  CAST(ok%79=0 AND ok%71<>0 AS INT) AS n_fatal,
-          |  CAST(ok%89=0 AND ok%71<>0 AS INT) + CAST(ok%83=0 AND ok%71<>0 AS INT)
-          |    + CAST(ok%97=0 AND ok%71<>0 AS INT) + CAST(ok%73=0 AND ok%89<>0 AND ok%71<>0 AS INT)
-          |    + CAST(ok%61=0 AND ok%71<>0 AS INT) + CAST(ok%71=0 AS INT) AS n_error,
+          |  CAST(ok%89=0 AND ok%71<>0 AS INT)
+          |    + CAST(ok%53=0 AND ok%71<>0 AS INT)
+          |    + CAST(ok%83=0 AND ok%71<>0 AS INT)
+          |    + CAST(ok%73=0 AND ok%89<>0 AND ok%43<>0 AND ok%71<>0 AS INT)
+          |    + CAST(ok%61=0 AND ok%53<>0 AND ok%71<>0 AS INT)
+          |    + CAST((ok%97=0 OR ok%59=0) AND ok%71<>0 AS INT)
+          |    + CAST(ok%71=0 AS INT)
+          |    + CAST(ok%71=0 OR ((ok%89=0 OR ok%43=0) AND ok%59<>0) OR (ok%89<>0 AND ok%43<>0 AND ok%59=0) AS INT)
+          |    + CAST(ok%53=0 AND ok%71<>0 AND NOT(ok%43=0 AND ok%97=0 AND ok%59<>0) AS INT)
+          |    + CAST(ok%71<>0 AND ok%47=0 AND ((ok%83=0 AND ok%89=0 AND ok%59<>0) OR (ok%83<>0 AND (ok%89=0 OR ok%59<>0))) AS INT)
+          |    + CAST(ok%71=0 OR ((ok%89=0 OR ok%43=0) AND ok%59<>0 AND ok%83=0 AND ok%47<>0) AS INT)
+          |    + CAST(ok%43=0 AND ok%71<>0 AS INT)
+          |    + CAST(ok%71<>0 AND (ok%79=0 OR (ok%41=0 AND (pk%1000)%2=1)) AS INT) AS n_error,
           |  CAST(ok%67=0 AND ok%83<>0 AND ok%71<>0 AS INT) AS n_warn,
-          |  CAST(ok%71=0 OR ok%83=0 AS INT) AS n_info
+          |  CAST(ok%71=0 OR (ok%83=0 AND ok%47<>0) AS INT) AS n_info
           |FROM li)
           |SELECT doc_id,
           |  CASE WHEN n_fatal>0 THEN 'rejected' WHEN n_error>0 THEN 'invalid'
@@ -171,13 +188,18 @@ object SparkEntry {
           |SELECT doc_id,
           | CASE WHEN ok%71=0 THEN '' ELSE
           |   (CASE WHEN ok%89=0 THEN '~' ELSE 'text' END) || ':' ||
-          |   (CASE WHEN ok%73=0 THEN lower(rf||ls) ELSE rf||ls END) || ':~:0|' ||
+          |   (CASE WHEN ok%73=0 THEN lower(rf||ls) ELSE rf||ls END) || ':~:' ||
+          |   (CASE WHEN ok%43=0 THEN '7' ELSE '0' END) || '|' ||
           |   (CASE WHEN ok%83=0 THEN 'blob' ELSE 'media' END) || ':' ||
           |   (CASE WHEN ok%67=0 THEN 'leak' ELSE '~' END) || ':' ||
-          |   (CASE WHEN ok%79=0 THEN 'x' ELSE 'm' END) || CAST(pk%1000 AS VARCHAR) || ':10|' ||
+          |   (CASE WHEN ok%79=0 THEN 'x' WHEN ok%41=0 THEN 'v1/m' ELSE 'm' END) || CAST(pk%1000 AS VARCHAR) || ':10|' ||
           |   'text:' ||
-          |   (CASE WHEN ok%61=0 THEN '999' ELSE CAST(CAST(qty AS INT) AS VARCHAR) END) || ':~:' ||
-          |   (CASE WHEN ok%97=0 THEN '5' ELSE '20' END) || '|'
+          |   (CASE WHEN ok%53=0 THEN '~' WHEN ok%61=0 THEN '999' ELSE CAST(CAST(qty AS INT) AS VARCHAR) END) || ':~:' ||
+          |   (CASE WHEN ok%97=0 THEN '5' ELSE '20' END) || '|' ||
+          |   (CASE WHEN ok%59=0 THEN 'text:AB:~:0|' ELSE '' END) ||
+          |   (CASE WHEN ok%47=0 THEN 'media:~:m' || CAST(pk%1000 AS VARCHAR) || ':30|'
+          |                          || 'media:~:m' || CAST(pk%1000 AS VARCHAR) || ':40|'
+          |         ELSE '' END)
           | END AS span_fp
           |FROM li""".stripMargin),
       "uniqueness_dups" ->
@@ -198,10 +220,12 @@ object SparkEntry {
         """
           |SELECT doc_id,
           |  CASE WHEN ok%71=0 THEN NULL
+          |       WHEN ok%47=0 THEN 'media'
           |       WHEN ok%97=0 AND ok%83=0 THEN 'blob'
           |       WHEN ok%97=0 THEN 'media'
           |       ELSE 'text' END AS last_kind,
           |  CASE WHEN ok%71=0 THEN NULL
+          |       WHEN ok%47=0 THEN 40
           |       WHEN ok%97=0 THEN 10 ELSE 20 END AS last_offset
           |FROM li""".stripMargin),
       "derive_latest_event" ->

@@ -16,7 +16,7 @@ import graft.model.Schemas
   * Every injection is a pure function of `l_orderkey`, so the expected
   * violation set is ANSI-SQL-expressible for the DuckDB oracle.
   *
-  * Injection predicates (ok = l_orderkey):
+  * Injection predicates (ok = l_orderkey, pk = l_partkey):
   *   ok%89=0  -> span0.kind = NULL          (presence break)
   *   ok%83=0  -> span1.kind = 'blob'        (vocabulary break)
   *   ok%79=0  -> span1.media_ref = 'x...'   (dangling FK)
@@ -25,6 +25,14 @@ import graft.model.Schemas
   *   ok%71=0  -> spans = []                 (cardinality break; wins last)
   *   ok%67=0  -> span1.text = 'leak'        (cross-field break)
   *   ok%61=0  -> span2.text = '999'         (range break, [1,50])
+  *   ok%59=0  -> append span3 ('text','AB',-,0)   (second header: exactly-one break;
+  *               also breaks offset ordering, 20 -> 0)
+  *   ok%53=0  -> span2.text = NULL          (text-presence + tail either-or break;
+  *               wins over ok%61)
+  *   ok%47=0  -> append 2 media spans @30,@40     (text-vs-media balance break)
+  *   ok%43=0  -> span0.offset = 7           (header-offset equality break)
+  *   ok%41=0  -> span1.media_ref = 'v1/m...'      (versioned-catalog membership
+  *               break iff pk%1000 is odd; ok%79 wins over ok%41)
   *
   * doc_id duplicates need no injection: the synthetic lineitem already
   * contains repeated (l_orderkey, l_linenumber) pairs, so the docs feed has
@@ -50,26 +58,41 @@ object DocGen {
       when(ok % 89 === 0, lit(null).cast("string")).otherwise(lit("text")).as("kind"),
       when(ok % 73 === 0, lower(flagText)).otherwise(flagText).as("text"),
       lit(null).cast("string").as("media_ref"),
-      lit(0).as("offset"))
+      when(ok % 43 === 0, lit(7)).otherwise(lit(0)).as("offset"))
 
     val s1 = struct(
       when(ok % 83 === 0, lit("blob")).otherwise(lit("media")).as("kind"),
       when(ok % 67 === 0, lit("leak")).otherwise(lit(null).cast("string")).as("text"),
       when(ok % 79 === 0, concat(lit("x"), pkmod))
+        .when(ok % 41 === 0, concat(lit("v1/m"), pkmod))
         .otherwise(concat(lit("m"), pkmod)).as("media_ref"),
       lit(10).as("offset"))
 
     val s2 = struct(
       lit("text").as("kind"),
-      when(ok % 61 === 0, lit("999"))
+      when(ok % 53 === 0, lit(null).cast("string"))
+        .when(ok % 61 === 0, lit("999"))
         .otherwise(col("l_quantity").cast("int").cast("string")).as("text"),
       lit(null).cast("string").as("media_ref"),
       when(ok % 97 === 0, lit(5)).otherwise(lit(20)).as("offset"))
 
+    // extra spans for the record-level composite rules
+    val s3 = struct(lit("text").as("kind"), lit("AB").as("text"),
+      lit(null).cast("string").as("media_ref"), lit(0).as("offset"))
+    def mediaTail(offset: Int) = struct(lit("media").as("kind"),
+      lit(null).cast("string").as("text"),
+      concat(lit("m"), pkmod).as("media_ref"), lit(offset).as("offset"))
+
+    val none = array().cast(Schemas.spanArray)
+    val spansArr = concat(
+      array(s0, s1, s2).cast(Schemas.spanArray),
+      when(ok % 59 === 0, array(s3).cast(Schemas.spanArray)).otherwise(none),
+      when(ok % 47 === 0, array(mediaTail(30), mediaTail(40)).cast(Schemas.spanArray))
+        .otherwise(none))
+
     li.select(
       concat(ok.cast("string"), lit("-"), col("l_linenumber").cast("string")).as("doc_id"),
-      when(ok % 71 === 0, array().cast(Schemas.spanArray))
-        .otherwise(array(s0, s1, s2)).as("spans"))
+      when(ok % 71 === 0, none).otherwise(spansArr).as("spans"))
   }
 
   /** Media catalog dimension: every valid media_ref + its media kind.
@@ -96,4 +119,19 @@ object DocGen {
 
   /** Closed kind vocabulary (the `CodedEnum` analog, MTBValidators.scala:62-65). */
   val kindVocab: Seq[String] = Seq("text", "media")
+
+  /** Versioned catalog releases (the ICD-O catalog-by-version analog,
+    * MTBValidators.scala:136-156): 'v1' is an older release holding only the
+    * even-numbered refs; 'v2' (latest) holds everything. A coding carrying
+    * no version — or an unknown one — resolves against the latest release,
+    * mirroring the reference's `coding.version.flatMap(catalogs(_))
+    * .getOrElse(latest)` fallback. */
+  val latestCatalogVersion: String = "v2"
+
+  def versionedCatalog(keys: Iterable[String]): Map[String, Seq[String]] = {
+    val all = keys.toSeq
+    Map(
+      "v1" -> all.filter(k => k.drop(1).toLongOption.exists(_ % 2 == 0)),
+      "v2" -> all)
+  }
 }

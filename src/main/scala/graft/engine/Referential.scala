@@ -26,10 +26,14 @@ object Referential {
         explode_outer(filter(col("spans"), s => s.getField("media_ref").isNotNull)).as("s"))
       .where(col("s").isNotNull)
       .select(col("doc_id"), col("s.media_ref").as("media_ref"))
-    val dim = catalog.select(col("media_ref"))
+      // resolve on the base coding: an explicit catalog-version prefix
+      // ('v1/m123') addresses a release, not a different entity — version
+      // membership is R_REF_VERSION's job, resolution is ours
+      .withColumn("base_ref", substring_index(col("media_ref"), "/", -1))
+    val dim = catalog.select(col("media_ref").as("base_ref"))
     val n = catalogRows.getOrElse(dim.count())
     val right = if (n <= broadcastMaxRows) broadcast(dim) else dim
-    refs.join(right, Seq("media_ref"), "left_anti")
+    refs.join(right, Seq("base_ref"), "left_anti")
       .select(col("doc_id"), col("media_ref"))
   }
 }

@@ -24,13 +24,15 @@ object Validate {
   def withViolations(docs: DataFrame, catalog: Map[String, String]): DataFrame =
     docs.withColumn("violations",
       graft.functions.SpanViolations(col("spans"),
-        catalog.keys.toSeq, DocGen.kindVocab))
+        catalog.keys.toSeq, DocGen.kindVocab,
+        DocGen.versionedCatalog(catalog.keys), DocGen.latestCatalogVersion))
 
   /** Declarative reference implementation (pure Column algebra). */
   def withViolationsDeclarative(docs: DataFrame,
                                 catalog: Map[String, String]): DataFrame =
     docs.withColumn("violations",
-      RuleSet.violationsArray(CoreRules.all(catalog, DocGen.kindVocab)))
+      RuleSet.violationsArray(CoreRules.all(catalog, DocGen.kindVocab,
+        DocGen.versionedCatalog(catalog.keys), DocGen.latestCatalogVersion)))
 
   /** Flat violations table (doc_id, rule_id, severity, path, message).
     *

@@ -26,7 +26,9 @@ import graft.model.Schemas
   * the instances is safe.
   */
 case class SpanViolations(child: Expression, catalogKeys: Seq[String],
-                          vocab: Seq[String])
+                          vocab: Seq[String],
+                          catalogByVersion: Map[String, Seq[String]],
+                          latestVersion: String)
   extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(Schemas.violationStruct)
@@ -36,6 +38,20 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
     val s = new java.util.HashSet[UTF8String](catalogKeys.size * 2)
     catalogKeys.foreach(k => s.add(UTF8String.fromString(k)))
     s
+  }
+  @transient private lazy val versionSets
+      : java.util.HashMap[UTF8String, java.util.HashSet[UTF8String]] = {
+    val m = new java.util.HashMap[UTF8String, java.util.HashSet[UTF8String]]()
+    catalogByVersion.foreach { case (v, members) =>
+      val s = new java.util.HashSet[UTF8String](members.size * 2)
+      members.foreach(k => s.add(UTF8String.fromString(k)))
+      m.put(UTF8String.fromString(v), s)
+    }
+    m
+  }
+  @transient private lazy val latestSet: java.util.HashSet[UTF8String] = {
+    val s = versionSets.get(UTF8String.fromString(latestVersion))
+    if (s != null) s else new java.util.HashSet[UTF8String]()
   }
   @transient private lazy val vocabSet: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String]()
@@ -72,6 +88,37 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
     row("R_SPAN_COUNT", "error", "spans", "doc must contain between 1 and 8 spans")
   @transient private lazy val V_HAS_MEDIA =
     row("R_HAS_MEDIA", "info", "spans", "doc carries no media span")
+  @transient private lazy val V_ONE_HEADER =
+    row("R_ONE_HEADER", "error", "spans",
+      "doc must contain exactly one header text span at offset 0")
+  @transient private lazy val V_TAIL_EITHER_OR =
+    row("R_TAIL_EITHER_OR", "error", "spans",
+      "every non-initial span must carry text or a media_ref")
+  @transient private lazy val V_TEXT_MEDIA_BALANCE =
+    row("R_TEXT_MEDIA_BALANCE", "error", "spans",
+      "doc must carry at least as many text spans as media spans")
+  @transient private lazy val V_CLASSIFIED =
+    row("R_CLASSIFIED", "error", "spans",
+      "doc must carry a header text span or a media span")
+  @transient private lazy val V_HEADER_OFFSET_EQ =
+    row("R_HEADER_OFFSET_EQ", "error", "spans/offset",
+      "first span must start at the expected offset 0")
+  @transient private lazy val V_REF_VERSION =
+    row("R_REF_VERSION", "error", "spans/media_ref",
+      "media_ref must resolve in its version's catalog (fallback latest)")
+
+  /** byte index of the FIRST '/' in s, or -1 ('/' < 0x80 can never be a
+    * UTF-8 continuation byte, so a byte scan is character-safe). */
+  private def firstSlash(b: Array[Byte]): Int = {
+    var i = 0
+    while (i < b.length) { if (b(i) == '/') return i; i += 1 }
+    -1
+  }
+  private def lastSlash(b: Array[Byte]): Int = {
+    var i = b.length - 1
+    while (i >= 0) { if (b(i) == '/') return i; i -= 1 }
+    -1
+  }
 
   private def isUpper2(s: UTF8String): Boolean = {
     if (s.numBytes != 2) return false
@@ -98,11 +145,18 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
     val n = spans.numElements()
     var kindNull, textMissing, badVocab, dangling, badFormat, badRange = false
     var mediaWithText, outOfOrder, hasMedia = false
+    var headerCount, textCount, mediaCount = 0
+    var firstOffsetBad, refVersionBad = false
     // SQL-null-semantics ordering: a comparison against a null span (or null
     // offset) is NULL in the declarative corpus and never fires the rule, so
     // both neighbor pairs of such an element are skipped here too.
     var havePrev = false
     var prevOffset = 0
+    // non-null spans in array order, for the offset-sorted tail rule
+    val tOff = new Array[Int](n)
+    val tHasOff = new Array[Boolean](n)
+    val tEitherOk = new Array[Boolean](n)
+    var m = 0
     var i = 0
     while (i < n) {
       if (spans.isNullAt(i)) {
@@ -120,6 +174,8 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
         else {
           if (!vocabSet.contains(kind)) badVocab = true
           if (kind.equals(KIND_TEXT)) {
+            textCount += 1
+            if (hasOffset && offset == 0) headerCount += 1
             if (text == null) textMissing = true
             else {
               if (hasOffset && offset == 0 && !isUpper2(text)) badFormat = true
@@ -130,17 +186,54 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
             }
           } else if (kind.equals(KIND_MEDIA)) {
             hasMedia = true
+            mediaCount += 1
             if (text != null) mediaWithText = true
           }
         }
-        if (ref != null && !catalogSet.contains(ref)) dangling = true
+        if (ref != null) {
+          val b = ref.getBytes
+          val ls = lastSlash(b)
+          val base = if (ls < 0) ref
+            else UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, ls + 1, b.length))
+          if (!catalogSet.contains(base)) dangling = true
+          val fs = firstSlash(b)
+          val verSet = if (fs < 0) latestSet else {
+            val ver = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, 0, fs))
+            val vs = versionSets.get(ver)
+            if (vs != null) vs else latestSet
+          }
+          if (!verSet.contains(base)) refVersionBad = true
+        }
+        if (i == 0 && hasOffset && offset != 0) firstOffsetBad = true
         if (hasOffset) {
           if (havePrev && offset <= prevOffset) outOfOrder = true
           prevOffset = offset
           havePrev = true
         } else havePrev = false
+        tOff(m) = offset; tHasOff(m) = hasOffset
+        tEitherOk(m) = text != null || ref != null
+        m += 1
       }
       i += 1
+    }
+    // offset-sorted tail check: stable insertion sort (spans arrays are
+    // short) with the declarative comparator (null offsets compare equal)
+    var tailBad = false
+    if (m > 1) {
+      val idx = new Array[Int](m)
+      var a = 0
+      while (a < m) { idx(a) = a; a += 1 }
+      var j = 1
+      while (j < m) {
+        var k = j
+        while (k > 0 && {
+          val p = idx(k - 1); val q = idx(k)
+          tHasOff(p) && tHasOff(q) && tOff(p) > tOff(q)
+        }) { val t = idx(k - 1); idx(k - 1) = idx(k); idx(k) = t; k -= 1 }
+        j += 1
+      }
+      var r = 1
+      while (r < m) { if (!tEitherOk(idx(r))) tailBad = true; r += 1 }
     }
     val out = new java.util.ArrayList[AnyRef](4)
     if (kindNull) out.add(V_KIND_PRESENT)
@@ -153,6 +246,12 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
     if (outOfOrder) out.add(V_OFFSET_ORDER)
     if (n < 1 || n > 8) out.add(V_SPAN_COUNT)
     if (!hasMedia) out.add(V_HAS_MEDIA)
+    if (headerCount != 1) out.add(V_ONE_HEADER)
+    if (tailBad) out.add(V_TAIL_EITHER_OR)
+    if (textCount < mediaCount) out.add(V_TEXT_MEDIA_BALANCE)
+    if (headerCount == 0 && mediaCount == 0) out.add(V_CLASSIFIED)
+    if (firstOffsetBad) out.add(V_HEADER_OFFSET_EQ)
+    if (refVersionBad) out.add(V_REF_VERSION)
     new GenericArrayData(out.toArray)
   }
 
@@ -170,7 +269,10 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
 
 object SpanViolations {
   import org.apache.spark.sql.GraftBridge
-  def apply(spans: Column, catalogKeys: Seq[String], vocab: Seq[String]): Column =
+  def apply(spans: Column, catalogKeys: Seq[String], vocab: Seq[String],
+            catalogByVersion: Map[String, Seq[String]],
+            latestVersion: String): Column =
     GraftBridge.column(
-      SpanViolations(GraftBridge.expression(spans), catalogKeys, vocab))
+      SpanViolations(GraftBridge.expression(spans), catalogKeys, vocab,
+        catalogByVersion, latestVersion))
 }

@@ -38,7 +38,9 @@ object StreamValidate {
     val docs = graft.data.DocGen.docsFrom(li)
     docs
       .withColumn("violations",
-        RuleSet.violationsArray(CoreRules.all(catalog, graft.data.DocGen.kindVocab)))
+        RuleSet.violationsArray(CoreRules.all(catalog, graft.data.DocGen.kindVocab,
+          graft.data.DocGen.versionedCatalog(catalog.keys),
+          graft.data.DocGen.latestCatalogVersion)))
       .select(col("doc_id") +: RuleSet.verdictCols(col("violations")): _*)
   }
 

@@ -38,6 +38,23 @@ object Invalidators {
   val emptySpans: Doc => Doc = d => d.copy(spans = Seq.empty)
   val missingText: Doc => Doc =
     d => d.copy(spans = d.spans.updated(0, d.spans(0).copy(text = None)))
+  // record-level composites (V29) + either-or (V3) + equality (V13) + V1
+  val secondHeader: Doc => Doc =
+    d => d.copy(spans = d.spans :+ span("text", text = "AB", offset = 0))
+  val bareTailSpan: Doc => Doc =
+    d => d.copy(spans = d.spans.updated(2, d.spans(2).copy(text = None)))
+  val mediaHeavy: Doc => Doc =
+    d => d.copy(spans = d.spans ++ Seq(
+      span("media", ref = "m1", offset = 30), span("media", ref = "m1", offset = 40)))
+  val unclassified: Doc => Doc =
+    d => d.copy(spans = Seq(
+      d.spans(0).copy(kind = None),
+      d.spans(1).copy(kind = Some("blob")),
+      d.spans(2)))
+  val shiftedHeader: Doc => Doc =
+    d => d.copy(spans = d.spans.updated(0, d.spans(0).copy(offset = 7)))
+  val oldVersionRef: Doc => Doc =
+    d => d.copy(spans = d.spans.updated(1, d.spans(1).copy(media_ref = Some("v1/m1"))))
 }
 
 class InvalidatorsSpec extends SparkSpec {
@@ -93,6 +110,38 @@ class InvalidatorsSpec extends SparkSpec {
   }
   test("text span without text => presence error") {
     check(Invalidators.missingText, "R_TEXT_PRESENT", "error", "spans/text", "invalid")
+  }
+  test("second header span => exactly-one error (V29 exactly-one-Main)") {
+    check(Invalidators.secondHeader, "R_ONE_HEADER", "error", "spans", "invalid")
+  }
+  test("non-initial span with neither text nor ref => sorted-tail error (V29)") {
+    check(Invalidators.bareTailSpan, "R_TAIL_EITHER_OR", "error", "spans", "invalid")
+  }
+  test("more media than text spans => balance error (V29 count comparison)") {
+    check(Invalidators.mediaHeavy, "R_TEXT_MEDIA_BALANCE", "error", "spans", "invalid")
+  }
+  test("neither header nor media span => either-or error (V3)") {
+    check(Invalidators.unclassified, "R_CLASSIFIED", "error", "spans", "invalid")
+  }
+  test("first span off the expected offset => equality error (V13)") {
+    check(Invalidators.shiftedHeader, "R_HEADER_OFFSET_EQ", "error",
+      "spans/offset", "invalid")
+  }
+  test("code valid in latest but absent from its declared version => V1 error") {
+    // 'm1' resolves (base ref in catalog: NO fatal), but the coding pins
+    // catalog release v1, which does not contain it -> membership error only
+    val docs = Seq(Invalidators.oldVersionRef(Invalidators.valid)).toDS().toDF()
+    val v = Validate.violations(docs, catalog)
+      .select("rule_id").as[String].collect().toSet
+    assert(v.contains("R_REF_VERSION") && !v.contains("R_MEDIA_REF_RESOLVES"), v.toString)
+  }
+  test("version-less and known-version codings resolve against their catalogs") {
+    // version-less 'm1' falls back to latest (v2, contains everything) and
+    // an explicit 'v2/m1' also passes: zero violations either way
+    val explicitV2 = Invalidators.valid.copy(spans = Invalidators.valid.spans
+      .updated(1, Invalidators.valid.spans(1).copy(media_ref = Some("v2/m1"))))
+    val docs = Seq(Invalidators.valid, explicitV2).toDS().toDF()
+    assert(Validate.violations(docs, catalog).isEmpty)
   }
 }
 

@@ -47,33 +47,61 @@ class ValidateSpec extends SparkSpec {
     assert(rulesFor(pickDoc(97, 71)).contains("R_OFFSET_ORDER"))
   }
   test("format break (ok%73=0) fires R_TEXT_FORMAT") {
-    assert(rulesFor(pickDoc(73, 71, 89)).contains("R_TEXT_FORMAT"))
+    assert(rulesFor(pickDoc(73, 71, 89, 43)).contains("R_TEXT_FORMAT"))
   }
-  test("empty spans (ok%71=0) fires exactly cardinality + info") {
-    assert(rulesFor(pickDoc(71)) == Set("R_SPAN_COUNT", "R_HAS_MEDIA"))
+  test("empty spans (ok%71=0) fires exactly cardinality + info + composites") {
+    assert(rulesFor(pickDoc(71)) ==
+      Set("R_SPAN_COUNT", "R_HAS_MEDIA", "R_ONE_HEADER", "R_CLASSIFIED"))
   }
   test("cross-field break (ok%67=0) fires warning R_MEDIA_NO_TEXT") {
     assert(rulesFor(pickDoc(67, 71, 83)).contains("R_MEDIA_NO_TEXT"))
   }
   test("range break (ok%61=0) fires R_QTY_RANGE") {
-    assert(rulesFor(pickDoc(61, 71)).contains("R_QTY_RANGE"))
+    assert(rulesFor(pickDoc(61, 71, 53)).contains("R_QTY_RANGE"))
+  }
+  test("second header (ok%59=0) fires R_ONE_HEADER (V29 exactly-one)") {
+    val r = rulesFor(pickDoc(59, 71, 89, 43))
+    assert(r.contains("R_ONE_HEADER") && r.contains("R_OFFSET_ORDER"))
+  }
+  test("bare tail span (ok%53=0) fires R_TAIL_EITHER_OR + R_TEXT_PRESENT (V29)") {
+    val r = rulesFor(pickDoc(53, 71, 43))
+    assert(r.contains("R_TAIL_EITHER_OR") && r.contains("R_TEXT_PRESENT"))
+  }
+  test("media-heavy doc (ok%47=0) fires R_TEXT_MEDIA_BALANCE (V29 counts)") {
+    assert(rulesFor(pickDoc(47, 71, 83, 89)).contains("R_TEXT_MEDIA_BALANCE"))
+  }
+  test("shifted header (ok%43=0) fires R_HEADER_OFFSET_EQ (V13 equality)") {
+    val r = rulesFor(pickDoc(43, 71))
+    assert(r.contains("R_HEADER_OFFSET_EQ") && r.contains("R_ONE_HEADER"))
+  }
+  test("versioned refs (ok%41=0, odd residue) fire R_REF_VERSION (V1)") {
+    val fired = violations.where(col("rule_id") === "R_REF_VERSION")
+      .select("doc_id").as[String].collect()
+    assert(fired.nonEmpty)
+    val ok = fired.map(_.split("-")(0).toLong)
+    assert(ok.forall(k => k % 41 == 0 || k % 79 == 0),
+      "version-membership misses must come from the %41 injection or dangling %79 refs")
   }
 
+  private val allInjections =
+    Seq(41, 43, 47, 53, 59, 61, 67, 71, 73, 79, 83, 89, 97)
+
   test("clean doc is valid; verdict triage matches severity model") {
-    val cleanId = pickDoc(1, 61, 67, 71, 73, 79, 83, 89, 97)
+    val cleanId = pickDoc(1, allInjections: _*)
     val v = Validate.verdicts(docs, catalog).cache()
     val clean = v.where(col("doc_id") === cleanId).collect().head
     assert(clean.getAs[String]("verdict") == "valid")
     assert(clean.getAs[Int]("n_error") == 0 && clean.getAs[Int]("n_fatal") == 0)
     val fatal = v.where(col("doc_id") === pickDoc(79, 71)).collect().head
     assert(fatal.getAs[String]("verdict") == "rejected")
-    val warn = v.where(col("doc_id") === pickDoc(67, 61, 71, 73, 79, 83, 89, 97)).collect().head
+    val warn = v.where(col("doc_id") === pickDoc(67, allInjections.filter(_ != 67): _*))
+      .collect().head
     assert(warn.getAs[String]("verdict") == "acceptable")
     v.unpersist()
   }
 
   test("span-sequence equality: typed round-trip preserves (kind,text,media_ref,order)") {
-    val cleanId = pickDoc(1, 61, 67, 71, 73, 79, 83, 89, 97)
+    val cleanId = pickDoc(1, allInjections: _*)
     val d = docs.where(col("doc_id") === cleanId).as[Doc].collect().head
     // reconstructed via the HOF fingerprint must equal a fingerprint built
     // from the typed collected rows — exact order-sensitive equality

@@ -234,10 +234,14 @@ object SparkEntry {
           |  FROM events) t WHERE rn = 1""".stripMargin,
       "derive_censor_date" ->
         """SELECT o.o_orderkey,
-          |       coalesce(r.last_returned, r.last_shipped, o.o_orderdate) AS censor_ts
+          |       coalesce(r.last_returned,
+          |                CASE WHEN o.o_orderstatus='F'
+          |                     THEN coalesce(r.last_f_shipped, o.o_orderdate) END,
+          |                r.last_shipped, o.o_orderdate) AS censor_ts
           |FROM orders o LEFT JOIN (
           |  SELECT l_orderkey,
           |         max(CASE WHEN l_returnflag='R' THEN l_shipdate END) AS last_returned,
+          |         max(CASE WHEN l_linestatus='F' THEN l_shipdate END) AS last_f_shipped,
           |         max(l_shipdate) AS last_shipped
           |  FROM lineitem GROUP BY 1) r ON o.o_orderkey = r.l_orderkey""".stripMargin,
       "derive_type_set" ->

@@ -27,21 +27,35 @@ object Derive {
       .select("user_id", "event_id", "event_type", "ts", "value")
   }
 
-  /** Censoring cascade per order: coalesce(latest 'returned' ship date,
-    * latest ship date, order date) — the V5 dateOfDeathOrCensoring shape.
+  /** Censoring cascade per order — the V5/V6 dateOfProgressionOrCensoring
+    * shape (MTBValidators.scala:176-208), all four reference levels:
+    *   1. latest progression-marked response   -> latest 'R'-returned ship date
+    *   2. status-gated: IF the order is Finished, its period end orElse
+    *      recording date                       -> when(status='F',
+    *                                              coalesce(last 'F' ship, order date))
+    *   3. date of death                        -> latest ship date overall
+    *   4. censoring: recording date            -> order date
+    * Level 2 mirrors the reference's nested `period.endOption.getOrElse
+    * (recordedOn)` INSIDE the status condition: a Finished order resolves at
+    * level 2 and never falls through to level 3.
     * Aggregate lineitem first (map-side combine), then join orders. */
   def censorDatePerOrder(spark: SparkSession, sfDir: String): DataFrame = {
     val li = graft.data.Tables.read(spark, sfDir, "lineitem")
     val orders = graft.data.Tables.read(spark, sfDir, "orders")
     val agg = li.groupBy("l_orderkey").agg(
       max(when(col("l_returnflag") === "R", col("l_shipdate"))).as("last_returned"),
+      max(when(col("l_linestatus") === "F", col("l_shipdate"))).as("last_f_shipped"),
       max(col("l_shipdate")).as("last_shipped"))
     orders
       .join(agg, orders("o_orderkey") === agg("l_orderkey"), "left")
       .select(
         col("o_orderkey"),
-        coalesce(col("last_returned"), col("last_shipped"), col("o_orderdate"))
-          .as("censor_ts"))
+        coalesce(
+          col("last_returned"),
+          when(col("o_orderstatus") === "F",
+            coalesce(col("last_f_shipped"), col("o_orderdate"))),
+          col("last_shipped"),
+          col("o_orderdate")).as("censor_ts"))
   }
 
   /** Conditional set-fold per user: which event categories the user has,

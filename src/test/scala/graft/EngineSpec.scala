@@ -94,6 +94,25 @@ class EngineSpec extends SparkSpec {
     assert(got.where(col("censor_ts").isNull).count() == 0)
   }
 
+  test("derive: the status-gated cascade level is live (V6 4-level shape)") {
+    // orders that resolve at level 2 (Finished, no returned lineitem) where
+    // the gated value observably differs from the level-3 fallback
+    val li = graft.data.Tables.read(spark, sf, "lineitem")
+    val orders = graft.data.Tables.read(spark, sf, "orders")
+    val agg = li.groupBy("l_orderkey").agg(
+      max(when(col("l_returnflag") === "R", col("l_shipdate"))).as("lr"),
+      max(when(col("l_linestatus") === "F", col("l_shipdate"))).as("lf"),
+      max(col("l_shipdate")).as("ls"))
+    val gated = orders.join(agg, col("o_orderkey") === col("l_orderkey"), "left")
+      .where(col("o_orderstatus") === "F" && col("lr").isNull &&
+        !(col("lf") <=> col("ls")))
+    assert(gated.count() > 0, "expected level-2-resolved orders in the data")
+    val joined = Derive.censorDatePerOrder(spark, sf)
+      .join(gated, Seq("o_orderkey"))
+    assert(joined.where(!(col("censor_ts") <=> coalesce(col("lf"), col("o_orderdate"))))
+      .count() == 0, "level 2 must win over level 3 for Finished orders")
+  }
+
   test("derive: latest event per user is unique and maximal") {
     val latest = Derive.latestEventPerUser(spark, sf)
     assert(latest.groupBy("user_id").count().where(col("count") > 1).count() == 0)

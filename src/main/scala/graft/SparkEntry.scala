@@ -336,6 +336,37 @@ object SparkEntry {
           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           |WHERE 10 * len(list_intersect(a.sh, b.sh))
           |   >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))""".stripMargin),
+      // oracle: recompute the FNV-1a-64 token hashes and simhash signatures
+      // in HUGEINT arithmetic mod 2^64, then exhaustive all-pairs Hamming
+      // <= 7 — exact, because 8x8-bit chunk bucketing is pigeonhole-exact
+      // at this threshold. ascii() == UTF-8 byte for the ASCII-only corpus.
+      "dedup_simhash" -> {
+        val pow2 = (0 until 64).map(j => BigInt(1) << j).mkString(", ")
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000, text || ' near dup copy tail'
+           |  FROM documents WHERE doc_id%50=0),
+           |tok AS (SELECT doc_id,
+           |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
+           |        FROM corpus),
+           |th AS (SELECT doc_id, list_transform(t, w ->
+           |  list_reduce(
+           |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+           |      list_transform(generate_series(1, length(w)),
+           |        i -> CAST(ascii(substr(w, i, 1)) AS HUGEINT))),
+           |    (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+           |               * 1099511628211) % 18446744073709551616)) AS hs
+           |  FROM tok WHERE len(t) > 0),
+           |sim AS (SELECT doc_id,
+           |  CAST(list_sum(list_transform(CAST(list_value($pow2) AS HUGEINT[]), p ->
+           |    CASE WHEN 2 * len(list_filter(hs, h -> (h // p) % 2 = 1)) > len(hs)
+           |         THEN p ELSE CAST(0 AS HUGEINT) END)) AS UBIGINT) AS s
+           |  FROM th)
+           |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           |       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.s, b.s)) <= 7""".stripMargin
+      },
       // oracle: exhaustive all-pairs cosine on the same injected corpus
       // (candidate-generation misses are ~1e-6 at this similarity level
       // and verified empirically at sf0.01)

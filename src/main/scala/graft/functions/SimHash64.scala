@@ -8,13 +8,23 @@ import org.apache.spark.sql.types._
 
 /** 64-bit SimHash over an array<string> of tokens, as one compiled loop —
   * bit j of the result is set iff the sum over tokens of (+1 if bit j of
-  * xxhash64(token) else -1) is positive. Same rationale as MinHashBands:
-  * the HOF formulation pays one interpreted lambda per (bit x token). */
+  * hash(token) else -1) is positive. Same rationale as MinHashBands:
+  * the HOF formulation pays one interpreted lambda per (bit x token).
+  *
+  * Token hash is FNV-1a 64 over the UTF-8 bytes: adequate diffusion for
+  * simhash AND independently recomputable in ANSI SQL (the DuckDB oracle
+  * folds the same constants in HUGEINT arithmetic mod 2^64), which turns
+  * the dedup_simhash correctness row from rows-only into an exact
+  * rows+schema+hash gate. Long arithmetic wraps silently in Scala — that
+  * wraparound IS the mod-2^64. */
 case class SimHash64(child: Expression)
   extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
+
+  private final val FNV_BASIS = 0xcbf29ce484222325L
+  private final val FNV_PRIME = 0x100000001b3L
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -22,9 +32,13 @@ case class SimHash64(child: Expression)
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val b = arr.getUTF8String(i).getBytes
+      var h = FNV_BASIS
+      var k = 0
+      while (k < b.length) {
+        h = (h ^ (b(k) & 0xffL)) * FNV_PRIME
+        k += 1
+      }
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

@@ -211,12 +211,13 @@ object Dedup {
       .groupBy(col("chunk"), col("cv"))
       .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
       .where(size(col("members")) > 1)
-      .select(explode_outer(graft.util.Exprs.sortedPairs(col("members"))).as("p"))
+      // fused compiled pair-expand + Hamming verify: emits only passing
+      // pairs instead of materializing every bucket pair (see HammingPairs)
+      .select(explode_outer(
+        graft.functions.HammingPairs(col("members"), maxHamming)).as("p"))
       .where(col("p").isNotNull)
-      .select(
-        col("p.a.doc_id").as("doc_id_a"), col("p.b.doc_id").as("doc_id_b"),
-        bit_count(col("p.a.sim").bitwiseXOR(col("p.b.sim"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
+      .select(col("p.doc_id_a").as("doc_id_a"), col("p.doc_id_b").as("doc_id_b"),
+        col("p.hamming").as("hamming"))
       .distinct()
   }
 }

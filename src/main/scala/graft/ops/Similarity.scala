@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left-fold dot product (deterministic summation order). */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential left-fold dot product (deterministic summation order) —
+    * compiled kernel; bit-identical to `dotDeclarative` (asserted in
+    * OpsSpec), which costs ~2 x dim interpreted lambda calls + 2 array
+    * allocations per evaluation. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  /** Declarative HOF reference for `dot`. */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   private def prepared(emb: DataFrame): DataFrame =
@@ -52,10 +58,15 @@ object Similarity {
     * expansion — never all-pairs), exact cosine verifies >= threshold.
     * Same scale shape as Dedup.minhashLshPairs. */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.9,
-                         nBits: Int = 6, nTables: Int = 8): DataFrame = {
+                         nBits: Int = 5, nTables: Int = 12): DataFrame = {
+    // 5 bits x 12 tables: the output is exactness-gated (exhaustive-oracle
+    // compared), so the LSH stage must make a candidate miss negligible —
+    // P(miss) for a 0.9-cosine pair is (1-p^5)^12 ~ 2e-3 with
+    // p = 1 - acos(0.9)/pi, and far lower for the injected near-dups;
+    // fewer bits -> bigger buckets -> more (cheap, exact-verified)
+    // candidates in exchange for recall.
     val e = emb.withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val buckets = array((0 until nTables).map(t =>
-      lshBucket(col("v"), nBits, seedOffset = t * nBits)): _*)
+    val buckets = graft.functions.LshBuckets(col("v"), nBits, nTables)
     val banded = e
       .select(col("vec_id"), posexplode_outer(buckets).as(Seq("table", "bucket")))
       .where(col("bucket").isNotNull)
@@ -122,10 +133,13 @@ object Similarity {
         round(col("score"), 6).as("score_r"))
   }
 
-  /** Random-hyperplane signature: bit j = sign of <v, h_j> where h_j has
+  /** Declarative random-hyperplane signature (shape reference for the
+    * compiled functions.LshBuckets): bit j = sign of <v, h_j> where h_j has
     * deterministic +-1 components derived from xxhash64(seedOffset+j,
-    * component index). Different seedOffsets give independent hash tables. */
-  def lshBucket(v: Column, nBits: Int, seedOffset: Int = 0): Column =
+    * component index). Different seedOffsets give independent hash tables.
+    * Interpreted nested-HOF: nBits x dim lambda evals per vector — use the
+    * compiled kernel on hot paths. */
+  def lshBucketDeclarative(v: Column, nBits: Int, seedOffset: Int = 0): Column =
     aggregate(
       sequence(lit(0), lit(nBits - 1)), lit(0L),
       (acc, j) => acc + when(
@@ -146,8 +160,7 @@ object Similarity {
     * OpsSpec. */
   def annLshTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
                  nBits: Int = 6, nTables: Int = 8): DataFrame = {
-    val buckets = array((0 until nTables).map(t =>
-      lshBucket(col("v"), nBits, seedOffset = t * nBits)): _*)
+    val buckets = graft.functions.LshBuckets(col("v"), nBits, nTables)
     val e = prepared(emb)
       .select(col("vec_id"), col("v"), col("norm"),
         posexplode_outer(buckets).as(Seq("table", "bucket")))

@@ -77,6 +77,24 @@ class OpsSpec extends SparkSpec {
       Similarity.corpusWithNearDupVecs(embeddings)), "dedup_embedding_cosine")
   }
 
+  test("compiled dot product == declarative HOF fold (incl. null semantics)") {
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val pairs = e.alias("a").crossJoin(e.alias("b").limit(3))
+      .select(
+        Similarity.dot(col("a.v"), col("b.v")).as("c"),
+        Similarity.dotDeclarative(col("a.v"), col("b.v")).as("d"))
+    assert(pairs.where(!(col("c") <=> col("d"))).count() == 0)
+    // length mismatch and null elements -> NULL on both paths
+    val edge = Seq(
+      (Seq(1.0, 2.0), Seq(1.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))
+    ).toDF("x", "y")
+    val both = edge.select(Similarity.dot(col("x"), col("y")).as("c"),
+      Similarity.dotDeclarative(col("x"), col("y")).as("d"))
+    assert(both.where(col("c").isNotNull || col("d").isNotNull).count() == 0)
+  }
+
   test("similarity: brute-force top-k is sane (self-similarity, ranks)") {
     // append a copy of query vec 0 as a candidate: it must rank first with score 1
     val probe = embeddings.unionAll(

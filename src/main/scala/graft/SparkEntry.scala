@@ -115,6 +115,15 @@ object SparkEntry {
       ops.Similarity.annLshTopK(graft.data.Tables.read(s, d, "embeddings"))),
     "sim_ann_ivf" -> ((s, d) =>
       ops.Similarity.ivfTopK(graft.data.Tables.read(s, d, "embeddings"))),
+    // persisted-index variant: build inverted lists partitioned by cell_id
+    // once, then probe with static partition pruning (rows-only check —
+    // approximate op; equality with the one-shot IVF asserted in OpsSpec)
+    "sim_ann_ivf_index" -> ((s, d) => {
+      val emb = graft.data.Tables.read(s, d, "embeddings")
+      val path = s"/tmp/graft_ivf_index_${Integer.toHexString(d.hashCode)}"
+      ops.Similarity.ivfBuildIndex(emb, path)
+      ops.Similarity.ivfProbeIndex(s, path, emb)
+    }),
     "dedup_embedding_cosine" -> ((s, d) =>
       ops.Similarity.cosineNearDupPairs(
         ops.Similarity.corpusWithNearDupVecs(

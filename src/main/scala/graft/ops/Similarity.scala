@@ -102,28 +102,36 @@ object Similarity {
     * scan cost per query drops from O(corpus) to O(corpus * nProbe/nCells).
     * At web scale the seed step becomes a k-means job and lists become a
     * bucketed table; the probe/re-rank shape is identical. */
+  private def seedCentroids(e: DataFrame, nQueries: Int, nCells: Int): DataFrame =
+    e.where(col("vec_id") >= nQueries && col("vec_id") < nQueries + nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cn"))
+
+  /** Nearest-centroid assignment: each point gets its n best cells. */
+  private def nearestCells(points: DataFrame, centroids: DataFrame,
+                           idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("cscore").desc, col("cell_id").asc)
+    points.crossJoin(broadcast(centroids))
+      .withColumn("cscore", dot(col("v"), col("cv")) / (col("norm") * col("cn")))
+      .withColumn("crank", row_number().over(w))
+      .where(col("crank") <= n)
+      .drop("cv", "cn", "cscore", "crank")
+  }
+
   def ivfTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = prepared(emb)
-    val centroids = e.where(col("vec_id") >= nQueries &&
-        col("vec_id") < nQueries + nCells)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cn"))
-    def nearestCells(points: DataFrame, idCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("cscore").desc, col("cell_id").asc)
-      points.crossJoin(broadcast(centroids))
-        .withColumn("cscore", dot(col("v"), col("cv")) / (col("norm") * col("cn")))
-        .withColumn("crank", row_number().over(w))
-        .where(col("crank") <= n)
-        .drop("cv", "cn", "cscore", "crank")
-    }
+    val centroids = seedCentroids(e, nQueries, nCells)
     val q = nearestCells(
-      e.where(col("vec_id") < nQueries), "vec_id", nProbe)
+      e.where(col("vec_id") < nQueries), centroids, "vec_id", nProbe)
       .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell_id"))
-    val c = nearestCells(e.where(col("vec_id") >= nQueries), "vec_id", 1)
+    val c = nearestCells(e.where(col("vec_id") >= nQueries), centroids, "vec_id", 1)
+    rerank(c, q, k)
+  }
+
+  private def rerank(cands: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_vec_id").orderBy(col("score").desc, col("n_vec_id").asc)
-    c.join(broadcast(q), Seq("cell_id"))
+    cands.join(broadcast(q), Seq("cell_id"))
       .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
       .groupBy(col("q_vec_id"), col("vec_id").as("n_vec_id"))
       .agg(max(col("score")).as("score")) // dedupe multi-probe hits
@@ -131,6 +139,41 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_vec_id"), col("rank"), col("n_vec_id"),
         round(col("score"), 6).as("score_r"))
+  }
+
+  /** Phase 1 of the PERSISTED IVF index: assign every candidate vector to
+    * its nearest seed centroid once and write the inverted lists as a table
+    * partitioned by cell_id. At web scale this is the index-build job (seed
+    * centroids become k-means ones); the table is built once and amortized
+    * over every subsequent query batch instead of being rebuilt per run. */
+  def ivfBuildIndex(emb: DataFrame, path: String,
+                    nQueries: Int = 8, nCells: Int = 16): Unit = {
+    val e = prepared(emb)
+    val centroids = seedCentroids(e, nQueries, nCells)
+    nearestCells(e.where(col("vec_id") >= nQueries), centroids, "vec_id", 1)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+  }
+
+  /** Phase 2: probe a persisted index. The query batch is tiny, so its
+    * nQueries x nProbe probe cells are collected and pushed as a STATIC
+    * partition filter on the index read — only the probed cell partitions
+    * are scanned (O(corpus x nProbe/nCells) I/O, the IVF contract; the
+    * plan's PartitionFilters prove it, asserted in OpsSpec). */
+  def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                    nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = prepared(emb)
+    val centroids = seedCentroids(e, nQueries, nCells)
+    val q = nearestCells(
+      e.where(col("vec_id") < nQueries), centroids, "vec_id", nProbe)
+      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("cell_id"))
+    val probedCells = q.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val index = spark.read.parquet(path)
+      .where(col("cell_id").isin(probedCells: _*))
+      .select(col("cell_id"), col("vec_id"), col("v"), col("norm"))
+    rerank(index, q, k)
   }
 
   /** Declarative random-hyperplane signature (shape reference for the

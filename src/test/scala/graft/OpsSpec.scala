@@ -126,6 +126,27 @@ class OpsSpec extends SparkSpec {
     assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("similarity: persisted IVF index builds once, probes repeatedly with pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+    Similarity.ivfBuildIndex(embeddings, dir)
+    val p1 = Similarity.ivfProbeIndex(spark, dir, embeddings)
+    val p2 = Similarity.ivfProbeIndex(spark, dir, embeddings)
+    // repeat probes over the same persisted index are deterministic
+    assert(p1.collect().toSet == p2.collect().toSet)
+    // only the probed cells' partitions are scanned (static pruning)
+    val plan = p1.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(plan).isDefined,
+      s"index scan must carry a cell_id partition filter:\n$plan")
+    // recall vs exact brute force stays in the one-shot variant's range
+    val exact = Similarity.cosineTopK(embeddings, k = 5)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val ivf = p1.select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    assert((exact & ivf).size.toDouble / exact.size >= 0.2)
+    // and the persisted probe agrees with the one-shot in-memory IVF
+    val oneShot = Similarity.ivfTopK(embeddings, k = 5).collect().toSet
+    assert(p1.collect().toSet == oneShot)
+  }
+
   test("text: fingerprints match hand computation; rolling is order-sensitive") {
     val df = Seq((1L, "ab cd"), (2L, "cd ab")).toDF("doc_id", "text")
     def h(w: String) = 31 * w.length + 7 * w.head.toInt + w.last.toInt

@@ -38,7 +38,12 @@ object ScalingBench {
     // row group, so its scan (and the fan-out shuffle write) is inherently
     // single-threaded — a sandbox artifact a real multi-file table doesn't
     // have. Caching isolates the measured quantity: the validation pass.
-    val cached = docs.cache()
+    // Fixed partition count, independent of the measured core count: at
+    // local[2] the natural 2-partition layout makes ~10M-doc cache blocks
+    // that exceed the storage pool and silently fall out, so low-core runs
+    // would re-scan parquet while high-core runs read memory — the uniform
+    // layout keeps every run measuring the same in-memory input.
+    val cached = docs.repartition(64).cache()
     val nDocs = cached.count()
     val verdicts = Validate.verdicts(cached, catalog)
     def once(): Double = {

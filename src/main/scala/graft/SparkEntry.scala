@@ -29,8 +29,11 @@ object SparkEntry {
       Validate.spanFingerprint(DocGen.docs(s, d))),
     "uniqueness_dups" -> ((s, d) =>
       Uniqueness.duplicateKeys(DocGen.docs(s, d), "doc_id")),
+    // catalogRows: refs are p_partkey%1000 -> <=1000 by construction
+    // (metadata bound; skips the fallback count() job)
     "referential_dangling" -> ((s, d) =>
-      Referential.dangling(DocGen.docs(s, d), DocGen.mediaCatalog(s, d))),
+      Referential.dangling(DocGen.docs(s, d), DocGen.mediaCatalog(s, d),
+        catalogRows = Some(1000L))),
     "temporal_order_weeks" -> ((s, d) => {
       val li = graft.data.Tables.read(s, d, "lineitem")
       val o = graft.data.Tables.read(s, d, "orders")

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
 object Referential {
 
   /** Catalog row-count threshold below which we broadcast. At 100 TB the
-    * catalog row count is known from table metadata; here we ask the
-    * DataFrame directly (cheap on a dimension). */
+    * catalog row count is known from table metadata — callers should pass
+    * `catalogRows` (an upper bound is enough for the comparison) rather
+    * than let the fallback `dim.count()` run an extra job. */
   val broadcastMaxRows = 1000000L
 
   /** All (doc_id, media_ref) pairs whose media_ref does not resolve.

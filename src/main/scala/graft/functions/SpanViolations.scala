@@ -60,6 +60,7 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
   }
   @transient private lazy val KIND_TEXT = UTF8String.fromString("text")
   @transient private lazy val KIND_MEDIA = UTF8String.fromString("media")
+  @transient private lazy val SLASH = UTF8String.fromString("/")
 
   // prebuilt violation rows, in the SAME order as CoreRules.all
   private def row(id: String, sev: String, path: String, msg: String) =
@@ -153,9 +154,10 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
     var havePrev = false
     var prevOffset = 0
     // non-null spans in array order, for the offset-sorted tail rule
-    val tOff = new Array[Int](n)
-    val tHasOff = new Array[Boolean](n)
-    val tEitherOk = new Array[Boolean](n)
+    ensureScratch(n)
+    val tOff = sOff
+    val tHasOff = sHasOff
+    val tEitherOk = sEitherOk
     var m = 0
     var i = 0
     while (i < n) {
@@ -191,18 +193,22 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
           }
         }
         if (ref != null) {
-          val b = ref.getBytes
-          val ls = lastSlash(b)
-          val base = if (ls < 0) ref
-            else UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, ls + 1, b.length))
-          if (!catalogSet.contains(base)) dangling = true
-          val fs = firstSlash(b)
-          val verSet = if (fs < 0) latestSet else {
-            val ver = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, 0, fs))
+          // fast path: version-less refs (the overwhelming majority) need
+          // no byte copies — the ref IS the base coding, version = latest
+          if (ref.indexOf(SLASH, 0) < 0) {
+            if (!catalogSet.contains(ref)) dangling = true
+            if (!latestSet.contains(ref)) refVersionBad = true
+          } else {
+            val b = ref.getBytes
+            val base = UTF8String.fromBytes(
+              java.util.Arrays.copyOfRange(b, lastSlash(b) + 1, b.length))
+            if (!catalogSet.contains(base)) dangling = true
+            val ver = UTF8String.fromBytes(
+              java.util.Arrays.copyOfRange(b, 0, firstSlash(b)))
             val vs = versionSets.get(ver)
-            if (vs != null) vs else latestSet
+            val verSet = if (vs != null) vs else latestSet
+            if (!verSet.contains(base)) refVersionBad = true
           }
-          if (!verSet.contains(base)) refVersionBad = true
         }
         if (i == 0 && hasOffset && offset != 0) firstOffsetBad = true
         if (hasOffset) {
@@ -220,7 +226,7 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
     // short) with the declarative comparator (null offsets compare equal)
     var tailBad = false
     if (m > 1) {
-      val idx = new Array[Int](m)
+      val idx = sIdx
       var a = 0
       while (a < m) { idx(a) = a; a += 1 }
       var j = 1
@@ -253,6 +259,24 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
     if (firstOffsetBad) out.add(V_HEADER_OFFSET_EQ)
     if (refVersionBad) out.add(V_REF_VERSION)
     new GenericArrayData(out.toArray)
+  }
+
+  // per-row scratch for the sorted-tail rule, reused across rows (an
+  // Expression instance is task-local, so instance scratch is thread-safe);
+  // grown on demand for pathological span counts
+  @transient private var sOff: Array[Int] = _
+  @transient private var sHasOff: Array[Boolean] = _
+  @transient private var sEitherOk: Array[Boolean] = _
+  @transient private var sIdx: Array[Int] = _
+
+  private def ensureScratch(n: Int): Unit = {
+    if (sOff == null || sOff.length < n) {
+      val cap = math.max(n, 16)
+      sOff = new Array[Int](cap)
+      sHasOff = new Array[Boolean](cap)
+      sEitherOk = new Array[Boolean](cap)
+      sIdx = new Array[Int](cap)
+    }
   }
 
   private def allDigits(s: UTF8String): Boolean = {

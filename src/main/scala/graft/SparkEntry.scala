@@ -138,6 +138,8 @@ object SparkEntry {
       ops.TextAnalysis.quality(graft.data.Tables.read(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) =>
       ops.TextAnalysis.fingerprint(graft.data.Tables.read(s, d, "documents"))),
+    "text_tokens_bpe" -> ((s, d) =>
+      ops.TextAnalysis.bpeTokens(graft.data.Tables.read(s, d, "documents"))),
     // ---- training-data pipeline: multimodal plumbing ----------------------
     "multimodal_summary" -> ((s, d) =>
       ops.Multimodal.mediaSummary(graft.data.Tables.read(s, d, "documents")))
@@ -443,6 +445,15 @@ object SparkEntry {
            |        AND CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)/len(t) < 20.0
            |       THEN 1 ELSE 0 END AS quality_ok
            |FROM tok""".stripMargin
+      },
+      "text_tokens_bpe" -> {
+        val pat = graft.ops.TextAnalysis.bpePattern.replace("'", "''")
+        s"""SELECT doc_id,
+           |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS INT) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_bpe_tokens,
+           |  CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '$pat'),
+           |         t -> length(t))), 0) AS INT) AS bpe_chars
+           |FROM documents""".stripMargin
       },
       "text_fingerprint" ->
         """WITH tok AS (SELECT doc_id,

@@ -60,6 +60,25 @@ object TextAnalysis {
         (col("n_tokens").between(5, 10000) && col("avg_token_len") < 20.0).cast("int"))
   }
 
+  /** GPT-2-style pre-tokenizer regex (contractions, letter runs, digit
+    * runs, punctuation runs, each optionally space-prefixed, then bare
+    * spaces) — the "BPE-ish" token counter for curation budgets. The
+    * pattern uses only alternation/classes/quantifiers, so the Java
+    * (Spark) and RE2 (DuckDB oracle) dialects agree. */
+  val bpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Token counts per doc: whitespace tokens vs BPE-ish pre-tokens, plus
+    * the summed pre-token length (equals text length when the pattern
+    * tiles the text completely — asserted in OpsSpec). */
+  def bpeTokens(documents: DataFrame): DataFrame = {
+    val pre = regexp_extract_all(col("text"), lit(bpePattern), lit(0))
+    documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      size(pre).as("n_bpe_tokens"),
+      aggregate(pre, lit(0), (acc, t) => acc + length(t)).as("bpe_chars"))
+  }
+
   /** Document fingerprints, mod 1000003, from a portable per-word hash
     * (31*len + 7*first-char + last-char codepoints — identical arithmetic
     * is expressible in ANSI SQL for the oracle):

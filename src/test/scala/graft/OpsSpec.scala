@@ -159,6 +159,21 @@ class OpsSpec extends SparkSpec {
     assert(rows(1L)._2 != rows(2L)._2, "rolling fingerprint is order-sensitive")
   }
 
+  test("text: BPE-ish pre-tokens match hand computation and tile the text") {
+    val df = Seq((1L, "Don't add 123 e4!")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTokens(df).collect().head
+    // Don | 't | ' add' | ' 123' | ' e' | 4 | !
+    assert(r.getAs[Int]("n_bpe_tokens") == 7)
+    assert(r.getAs[Int]("n_ws_tokens") == 4)
+    assert(r.getAs[Int]("bpe_chars") == "Don't add 123 e4!".length,
+      "pre-tokens must tile the whole text")
+    // on the real corpus the pattern must also tile every doc exactly
+    val untiled = TextAnalysis.bpeTokens(documents)
+      .join(documents.select(col("doc_id"), length(col("text")).as("tl")), "doc_id")
+      .where(col("bpe_chars") =!= col("tl"))
+    assert(untiled.count() == 0)
+  }
+
   test("text: quality features match hand computation") {
     val df = Seq((1L, "the fox, ran.")).toDF("doc_id", "text")
     val q = TextAnalysis.quality(df).collect().head

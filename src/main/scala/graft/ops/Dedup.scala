@@ -72,38 +72,31 @@ object Dedup {
     * exact oracle compare. At web scale, cap hot-shingle bucket sizes
     * before pair expansion (skew guard). */
   def ngramJaccardPairs(corpus: DataFrame): DataFrame = {
-    val sh = shingles(col("text"))
-    // NOTE: no extra computed column next to the generator — a Project
-    // above a Generate re-evaluates its expressions once per EXPLODED row
-    // (52x/doc, measured); per-doc shingle counts come from a separate
-    // broadcast-joined scan instead
-    val ex = corpus
-      .select(col("doc_id"), col("lang"), col("source"), explode_outer(sh).as("s"))
+    // `sh` is materialized as an attribute in its own projection BELOW the
+    // generator (referenced twice — size + explode — so CollapseProject
+    // cannot inline the expensive shingling into the Generate's projection,
+    // where it would re-evaluate once per EXPLODED row; plan-asserted in
+    // OpsSpec). The per-doc shingle count `n` then rides through the
+    // buckets, so union sizes come out of the pair expansion directly —
+    // ZERO joins and exactly ONE corpus scan in the whole operator.
+    val shingled = corpus
+      .select(col("doc_id"), col("lang"), col("source"),
+        shingles(col("text")).as("sh"))
+    val ex = shingled
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("sh")).as("n"), explode_outer(col("sh")).as("s"))
       .where(col("s").isNotNull)
-    val sizes = corpus.select(col("doc_id"), size(sh).as("n"))
     val buckets = ex
       .groupBy(col("lang"), col("source"), col("s"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ids"))
       .where(size(col("ids")) > 1)
-    val pairs = buckets
+    buckets
       .select(explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))
       .where(col("p").isNotNull)
-      .groupBy(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
+      // n is functionally dependent on doc_id: grouping by it is free
+      .groupBy(col("p.a.doc_id").as("doc_id_a"), col("p.b.doc_id").as("doc_id_b"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).cast("int").as("n_inter"))
-    // size lookup: semi-join the per-doc size table down to just the pair
-    // participants first — `sizes` is one row per corpus doc, so a broadcast
-    // hint on it would OOM the driver at 10^12 docs. `pairIds` is tiny
-    // (candidates only), so AQE broadcasts IT, the corpus never shuffles,
-    // and the two remaining joins are against a candidate-sized table.
-    val pairIds = pairs
-      .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
-      .distinct()
-    val candSizes = sizes.join(pairIds, "doc_id")
-    pairs
-      .join(candSizes.select(col("doc_id").as("doc_id_a"), col("n").as("na")),
-        "doc_id_a")
-      .join(candSizes.select(col("doc_id").as("doc_id_b"), col("n").as("nb")),
-        "doc_id_b")
       .select(col("doc_id_a"), col("doc_id_b"), col("n_inter"),
         (col("na") + col("nb") - col("n_inter")).as("n_union"))
       .where(col("n_inter") * 10 >= col("n_union") * 6)

@@ -57,6 +57,20 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got == exact)
   }
 
+  test("ngram dedup: zero joins and shingles computed once per row") {
+    val df = Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(documents))
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    assert(plan.collect { case j: Join => j }.isEmpty,
+      "sizes ride through the buckets — the operator must have no joins")
+    // the shingling expression (its concat_ws marker) must appear exactly
+    // once per union branch of the corpus — i.e. CollapseProject must NOT
+    // inline it into the Generate's projection (per-exploded-row re-eval)
+    // nor duplicate it into the size() column
+    val n = "concat_ws".r.findAllIn(plan.toString).size
+    assert(n <= 2, s"shingles must be computed once per row, found $n sites")
+  }
+
   test("dedup/similarity verify joins never hint a corpus-side broadcast") {
     // The verify stage must not force-broadcast any per-doc table (driver
     // OOM at 10^12 docs): the optimized plan carries NO join hints at all —

@@ -398,6 +398,50 @@ object SparkEntry {
           |       round(list_dot_product(a.v,b.v)/(a.n*b.n), 6) AS score_r
           |FROM e a JOIN e b ON a.vec_id < b.vec_id
           |WHERE list_dot_product(a.v,b.v)/(a.n*b.n) >= 0.9""".stripMargin,
+      // oracle: the multi-table LSH pipeline is deterministic end-to-end —
+      // the hyperplane signs are FNV-1a over (plane, component) bytes
+      // (recomputed below in HUGEINT arithmetic mod 2^64, bit 32), buckets
+      // are sign-bit sums, candidates share a (table, bucket), and the
+      // exact cosine re-rank uses the same sequential-fold dot product
+      "sim_ann_lsh" -> {
+        val fold = "((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), " +
+          "CAST(b AS BIGINT))) * 1099511628211) % 18446744073709551616"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |en AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM e),
+           |signs AS (SELECT p, list_transform(range(0, 64), i ->
+           |    CASE WHEN ((list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+           |      [CAST(p % 256 AS HUGEINT), CAST((p // 256) % 256 AS HUGEINT),
+           |       CAST((p // 65536) % 256 AS HUGEINT), CAST((p // 16777216) % 256 AS HUGEINT),
+           |       CAST(i % 256 AS HUGEINT), CAST((i // 256) % 256 AS HUGEINT),
+           |       CAST((i // 65536) % 256 AS HUGEINT), CAST((i // 16777216) % 256 AS HUGEINT)]),
+           |      (h, b) -> $fold) // 4294967296) % 2) = 0
+           |    THEN 1.0 ELSE -1.0 END) AS sgn
+           |  FROM range(0, 48) AS pl(p)),
+           |planes AS (SELECT CAST(p // 6 AS INT) AS t, CAST(p % 6 AS INT) AS j, sgn FROM signs),
+           |bk AS (SELECT en.vec_id, planes.t,
+           |         CAST(sum(CASE WHEN list_dot_product(en.v, planes.sgn) > 0
+           |                       THEN CAST(round(power(2, planes.j)) AS BIGINT)
+           |                       ELSE 0 END) AS BIGINT) AS bucket
+           |       FROM en CROSS JOIN planes GROUP BY 1, 2),
+           |q AS (SELECT bk.vec_id AS q_vec_id, en.v AS qv, en.nrm AS qn, bk.t, bk.bucket
+           |      FROM bk JOIN en USING (vec_id) WHERE bk.vec_id < 8),
+           |c AS (SELECT bk.vec_id, en.v, en.nrm, bk.t, bk.bucket
+           |      FROM bk JOIN en USING (vec_id) WHERE bk.vec_id >= 8),
+           |scored AS (SELECT q.q_vec_id, c.vec_id AS n_vec_id,
+           |                  max(list_dot_product(q.qv, c.v)/(q.qn*c.nrm)) AS score
+           |           FROM c JOIN q ON c.t = q.t AND c.bucket = q.bucket GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+           |                ORDER BY score DESC, n_vec_id) AS rank FROM scored)
+           |SELECT q_vec_id, CAST(rank AS INT) AS rank, n_vec_id, round(score, 6) AS score_r
+           |FROM r WHERE rank <= 5""".stripMargin
+      },
+      // oracle: the IVF pipeline is fully deterministic (seed centroids =
+      // vec_ids 8..23, sequential-fold dot products, fixed tie-breaks), so
+      // it is recomputed exactly: assign -> probe 4 cells -> exact re-rank
+      "sim_ann_ivf" -> ivfOracleSql,
+      // the persisted-index probe is spec-asserted equal to the one-shot
+      // IVF (OpsSpec), so the same independent recomputation oracles it
+      "sim_ann_ivf_index" -> ivfOracleSql,
       "sim_topk_bruteforce" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |q AS (SELECT vec_id AS q_vec_id, v AS qv, sqrt(list_dot_product(v,v)) AS qn
@@ -474,6 +518,28 @@ object SparkEntry {
           |FROM documents""".stripMargin
     )
   }
+
+  private val ivfOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |en AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM e),
+      |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM en
+      |          WHERE vec_id >= 8 AND vec_id < 24),
+      |ac AS (SELECT p.vec_id, p.v, p.nrm, c.cell_id,
+      |              list_dot_product(p.v, c.cv)/(p.nrm*c.cn) AS cscore
+      |       FROM en p CROSS JOIN cents c),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                     ORDER BY cscore DESC, cell_id) AS crank FROM ac),
+      |q AS (SELECT vec_id AS q_vec_id, v AS qv, nrm AS qn, cell_id
+      |      FROM ranked WHERE vec_id < 8 AND crank <= 4),
+      |cand AS (SELECT vec_id, v, nrm, cell_id FROM ranked
+      |         WHERE vec_id >= 8 AND crank = 1),
+      |scored AS (SELECT q.q_vec_id, cand.vec_id AS n_vec_id,
+      |                  max(list_dot_product(q.qv, cand.v)/(q.qn*cand.nrm)) AS score
+      |           FROM cand JOIN q USING (cell_id) GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+      |                ORDER BY score DESC, n_vec_id) AS rank FROM scored)
+      |SELECT q_vec_id, CAST(rank AS INT) AS rank, n_vec_id, round(score, 6) AS score_r
+      |FROM r WHERE rank <= 5""".stripMargin
 
   /** Shared CTE: near-dup-injected corpus tokenized into distinct word
     * 3-shingles (DuckDB lists are 1-based like Spark element_at). */

@@ -16,14 +16,24 @@ import org.apache.spark.sql.types._
   * These expressions do the identical arithmetic in one compiled pass.
   */
 object VectorExprs {
-  /** murmur3 fmix64 — the standard 64-bit finalizer (public domain). */
-  @inline def fmix64(x0: Long): Long = {
-    var x = x0
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33; x
+  /** FNV-1a 64 constants — shared with SimHash64's token hash; chosen
+    * because the identical fold is recomputable in ANSI SQL (HUGEINT
+    * arithmetic mod 2^64), which lets the DuckDB oracle rebuild the
+    * hyperplane signs independently. */
+  val FNV_BASIS = 0xcbf29ce484222325L
+  val FNV_PRIME = 0x100000001b3L
+
+  /** Deterministic +-1 hyperplane component: FNV-1a over the 8
+    * little-endian bytes of (plane, component); bit 32 of the hash (low
+    * FNV bits are a parity chain — never use bit 0 of FNV for signs). */
+  def planeSign(p: Int, i: Int): Double = {
+    var h = FNV_BASIS
+    var b = 0
+    while (b < 4) { h = (h ^ ((p >> (8 * b)) & 0xff)) * FNV_PRIME; b += 1 }
+    b = 0
+    while (b < 4) { h = (h ^ ((i >> (8 * b)) & 0xff)) * FNV_PRIME; b += 1 }
+    if (((h >>> 32) & 1L) == 0L) 1.0 else -1.0
   }
-  val GOLDEN = 0x9E3779B97F4A7C15L
 }
 
 /** Sequential left-fold dot product of two array<double> columns.
@@ -63,8 +73,8 @@ object DotProduct {
 
 /** All nTables random-hyperplane LSH signatures of an array<double> vector
   * in ONE pass: element t of the result is a long whose bit j is the sign
-  * of <v, h_{t,j}>, where hyperplane h_{t,j} has deterministic +-1
-  * components sign(i) = fmix64((t*nBits+j) * GOLDEN + i) & 1.
+  * of <v, h_{t,j}>, where hyperplane h_{t,j} has the deterministic +-1
+  * components VectorExprs.planeSign(t*nBits+j, i).
   *
   * The +-1 component signs depend only on (plane, component index), so they
   * are computed once per plane per executor and cached — per-row work drops
@@ -90,8 +100,7 @@ case class LshBuckets(child: Expression, nBits: Int, nTables: Int)
       s = new Array[Double](d)
       var i = 0
       while (i < d) {
-        s(i) = if ((VectorExprs.fmix64(p.toLong * VectorExprs.GOLDEN + i) & 1L) == 0L) 1.0
-               else -1.0
+        s(i) = VectorExprs.planeSign(p, i)
         i += 1
       }
       signCache(p) = s

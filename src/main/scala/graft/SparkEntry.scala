@@ -118,6 +118,10 @@ object SparkEntry {
       ops.Similarity.annLshTopK(graft.data.Tables.read(s, d, "embeddings"))),
     "sim_ann_ivf" -> ((s, d) =>
       ops.Similarity.ivfTopK(graft.data.Tables.read(s, d, "embeddings"))),
+    // trained-quantizer variant (distributed Lloyd k-means; rows-only —
+    // learned centroids are float-nondeterministic, recall-tested in spec)
+    "sim_ann_ivf_kmeans" -> ((s, d) =>
+      ops.Similarity.ivfTopKKmeans(graft.data.Tables.read(s, d, "embeddings"))),
     // persisted-index variant: build inverted lists partitioned by cell_id
     // once, then probe with static partition pruning (rows-only check —
     // approximate op; equality with the one-shot IVF asserted in OpsSpec)

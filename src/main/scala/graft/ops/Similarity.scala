@@ -141,6 +141,44 @@ object Similarity {
         round(col("score"), 6).as("score_r"))
   }
 
+  /** Trained coarse quantizer: distributed Lloyd k-means (Spark MLlib —
+    * its aggregation is the zero-row-blowup partial-agg shape a 10^12-doc
+    * index build needs) over the candidate vectors, replacing the
+    * deterministic seed centroids. Returns (cell_id, cv, cn) like
+    * seedCentroids. Learned centroids are float-nondeterministic across
+    * partition orders, so k-means-IVF queries are recall-tested rather
+    * than oracle-hashed. */
+  def kmeansCentroids(e: DataFrame, nQueries: Int, nCells: Int,
+                      maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = e.where(col("vec_id") >= nQueries)
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCells).setMaxIter(maxIter).setSeed(7L)
+      .setFeaturesCol("fv").fit(train)
+    val spark = e.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF("cell_id", "cv")
+      .select(col("cell_id"), col("cv").cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+  }
+
+  /** IVF over the TRAINED quantizer — same probe/re-rank pipeline as
+    * ivfTopK, better-balanced cells (the real index-build job at scale). */
+  def ivfTopKKmeans(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                    nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = prepared(emb)
+    val centroids = kmeansCentroids(e, nQueries, nCells)
+    val q = nearestCells(
+      e.where(col("vec_id") < nQueries), centroids, "vec_id", nProbe)
+      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("cell_id"))
+    val c = nearestCells(e.where(col("vec_id") >= nQueries), centroids, "vec_id", 1)
+    rerank(c, q, k)
+  }
+
   /** Phase 1 of the PERSISTED IVF index: assign every candidate vector to
     * its nearest seed centroid once and write the inverted lists as a table
     * partitioned by cell_id. At web scale this is the index-build job (seed

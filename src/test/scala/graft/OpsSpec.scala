@@ -140,6 +140,19 @@ class OpsSpec extends SparkSpec {
     assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("similarity: k-means-trained IVF recall is at least the seed quantizer's") {
+    val exact = Similarity.cosineTopK(embeddings, k = 5)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val seed = recall(Similarity.ivfTopK(embeddings, k = 5))
+    val km = recall(Similarity.ivfTopKKmeans(embeddings, k = 5))
+    assert(km >= 0.2, s"k-means IVF recall too low: $km")
+    assert(km >= seed - 0.11, s"trained quantizer recall $km far below seed $seed")
+  }
+
   test("similarity: persisted IVF index builds once, probes repeatedly with pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
     Similarity.ivfBuildIndex(embeddings, dir)

@@ -25,4 +25,27 @@ object Tables {
     val target = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Materializes a table hash-bucketed (and sorted) by `key`, so every
+    * subsequent equi-join or aggregation on `key` between tables bucketed
+    * with the SAME bucket count is co-located: Spark reads matching buckets
+    * pairwise and adds NO shuffle (asserted in EngineSpec). This is the
+    * storage-level answer for the repeated doc_id joins a 10^12-doc
+    * validation pipeline makes (verdicts x violations x lineage); at that
+    * scale the same declaration is Iceberg's `bucket(N, key)` partition
+    * transform. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    // idempotent rebuild: also clear an orphaned location a previous
+    // session's in-memory catalog left behind (overwrite alone refuses it)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+  }
 }

@@ -89,6 +89,26 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join co-located: zero shuffle on the doc_id join") {
+    val catalog = DocGen.mediaCatalogMap(spark, sf)
+    val docs = DocGen.docs(spark, sf)
+    graft.data.Tables.writeBucketed(docs, "docs_b", "doc_id", 8)
+    graft.data.Tables.writeBucketed(
+      Validate.verdicts(docs, catalog), "verdicts_b", "doc_id", 8)
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the big-table path
+    try {
+      val j = spark.table("docs_b").join(spark.table("verdicts_b"), "doc_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"equal-bucketed join must read matching buckets pairwise:\n$plan")
+      assert(j.count() > 0)
+      // and a groupBy on the bucket key needs no shuffle either
+      val g = spark.table("verdicts_b").groupBy("doc_id").count()
+      assert(!g.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+  }
+
   test("derive: censor cascade prefers returned > shipped > order date") {
     val got = Derive.censorDatePerOrder(spark, sf)
     assert(got.where(col("censor_ts").isNull).count() == 0)

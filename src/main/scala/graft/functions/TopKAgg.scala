@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** One (score, id) candidate for per-group top-k. */
+case class ScoredId(score: Double, id: Long)
+
+/** Exact top-k per group as a MERGEABLE aggregate.
+  *
+  * Why: `row_number().over(Window.partitionBy(q))` ships EVERY scored
+  * candidate row to one reducer per query — at 10^12 candidates that
+  * reducer receives the whole corpus (the same scale-killer class as a
+  * full-corpus broadcast). As an Aggregator the k-bounded buffer combines
+  * map-side, so the shuffle carries at most k rows per (partition, query):
+  * O(partitions x k), independent of corpus size.
+  *
+  * Deterministic: buffers are kept sorted by (score DESC, id ASC) — the
+  * exact ordering the window formulation used — so results are
+  * bit-identical to the windowed top-k (oracle-gated in Verify) regardless
+  * of partitioning or merge order.
+  */
+class TopKAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+
+  private def before(a: ScoredId, b: ScoredId): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: Seq[ScoredId] = Vector.empty
+
+  override def reduce(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] = {
+    if (buf.size >= k && before(buf.last, x)) buf
+    else {
+      val i = buf.indexWhere(e => before(x, e)) match {
+        case -1 => buf.size
+        case j => j
+      }
+      (buf.take(i) :+ x) ++ buf.drop(i).take(k - i - 1)
+    }
+  }
+
+  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
+    b.foldLeft(a)(reduce)
+
+  override def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf
+
+  override def bufferEncoder: ExpressionEncoder[Seq[ScoredId]] =
+    ExpressionEncoder[Seq[ScoredId]]()
+  override def outputEncoder: ExpressionEncoder[Seq[ScoredId]] =
+    ExpressionEncoder[Seq[ScoredId]]()
+}
+
+object TopKAgg {
+  /** Column function: top_k(score, id) -> array<struct<score,id>> sorted
+    * by (score DESC, id ASC), length <= k. */
+  def topK(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopKAgg(k), ExpressionEncoder[ScoredId]())(score, id)
+}

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>).
@@ -28,19 +27,27 @@ object Similarity {
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
   /** Exact cosine top-k: query set = vec_id < nQueries (broadcast),
-    * candidates = the rest. Deterministic tie-break on vec_id. */
+    * candidates = the rest. Deterministic tie-break on vec_id.
+    *
+    * Top-k selection is the mergeable heap aggregate (functions.TopKAgg),
+    * NOT `row_number().over(partitionBy(query))`: the window would ship
+    * every scored candidate row to one reducer per query — the whole
+    * corpus onto nQueries tasks at 10^12 candidates — while the aggregate
+    * combines map-side and shuffles at most k rows per (partition, query).
+    * Output is bit-identical (same (score DESC, id ASC) order). */
   def cosineTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
     val e = prepared(emb)
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_vec_id"), col("v").as("qv"), col("norm").as("qn"))
     val c = e.where(col("vec_id") >= nQueries)
-    val w = Window.partitionBy("q_vec_id").orderBy(col("score").desc, col("vec_id").asc)
     c.crossJoin(broadcast(q))
-      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_vec_id"), col("rank"), col("vec_id").as("n_vec_id"),
-        round(col("score"), 6).as("score_r"))
+      .select(col("q_vec_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("score"))
+      .groupBy(col("q_vec_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("vec_id")).as("top"))
+      .select(col("q_vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_vec_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("n_vec_id"), round(col("t.score"), 6).as("score_r"))
   }
 
   /** embeddings + near-duplicate copies (first component doubled, id
@@ -106,16 +113,21 @@ object Similarity {
     e.where(col("vec_id") >= nQueries && col("vec_id") < nQueries + nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cn"))
 
-  /** Nearest-centroid assignment: each point gets its n best cells. */
+  /** Nearest-centroid assignment: each point gets its n best cells.
+    * Heap aggregate, not a window: all of a point's centroid scores sit in
+    * one map partition after the broadcast cross join, so the groupBy
+    * combines fully map-side and shuffles ONE row per point — the window
+    * formulation would shuffle corpus x nCells rows and sort them. */
   private def nearestCells(points: DataFrame, centroids: DataFrame,
-                           idCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(col("cscore").desc, col("cell_id").asc)
+                           idCol: String, n: Int): DataFrame =
     points.crossJoin(broadcast(centroids))
-      .withColumn("cscore", dot(col("v"), col("cv")) / (col("norm") * col("cn")))
-      .withColumn("crank", row_number().over(w))
-      .where(col("crank") <= n)
-      .drop("cv", "cn", "cscore", "crank")
-  }
+      .select(col(idCol), col("v"), col("norm"), col("cell_id"),
+        (dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("cscore"))
+      .groupBy(col(idCol))
+      .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
+        graft.functions.TopKAgg.topK(n)(col("cscore"), col("cell_id")).as("cells"))
+      .select(col(idCol), col("v"), col("norm"), explode(col("cells")).as("c"))
+      .select(col(idCol), col("v"), col("norm"), col("c.id").as("cell_id"))
 
   def ivfTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
@@ -129,17 +141,19 @@ object Similarity {
     rerank(c, q, k)
   }
 
-  private def rerank(cands: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("q_vec_id").orderBy(col("score").desc, col("n_vec_id").asc)
+  /** Shared exact re-rank: dedupe multi-probe hits by max score, then the
+    * mergeable top-k aggregate (no per-query all-candidates window). */
+  private def rerank(cands: DataFrame, q: DataFrame, k: Int): DataFrame =
     cands.join(broadcast(q), Seq("cell_id"))
-      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
-      .groupBy(col("q_vec_id"), col("vec_id").as("n_vec_id"))
+      .select(col("q_vec_id"), col("vec_id").as("n_vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("score"))
+      .groupBy(col("q_vec_id"), col("n_vec_id"))
       .agg(max(col("score")).as("score")) // dedupe multi-probe hits
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_vec_id"), col("rank"), col("n_vec_id"),
-        round(col("score"), 6).as("score_r"))
-  }
+      .groupBy(col("q_vec_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("n_vec_id")).as("top"))
+      .select(col("q_vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_vec_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("n_vec_id"), round(col("t.score"), 6).as("score_r"))
 
   /** Trained coarse quantizer: distributed Lloyd k-means (Spark MLlib —
     * its aggregation is the zero-row-blowup partial-agg shape a 10^12-doc
@@ -250,14 +264,15 @@ object Similarity {
       .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
         col("norm").as("qn"), col("table"), col("bucket"))
     val c = e.where(col("vec_id") >= nQueries)
-    val w = Window.partitionBy("q_vec_id").orderBy(col("score").desc, col("n_vec_id").asc)
     c.join(broadcast(q), Seq("table", "bucket"))
-      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
-      .groupBy(col("q_vec_id"), col("vec_id").as("n_vec_id"))
+      .select(col("q_vec_id"), col("vec_id").as("n_vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("score"))
+      .groupBy(col("q_vec_id"), col("n_vec_id"))
       .agg(max(col("score")).as("score")) // dedupe multi-table hits
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_vec_id"), col("rank"), col("n_vec_id"),
-        round(col("score"), 6).as("score_r"))
+      .groupBy(col("q_vec_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("n_vec_id")).as("top"))
+      .select(col("q_vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_vec_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("n_vec_id"), round(col("t.score"), 6).as("score_r"))
   }
 }

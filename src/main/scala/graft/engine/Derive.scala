@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-group derivations mirroring the reference's non-predicate operators:
@@ -15,17 +14,19 @@ object Derive {
   private def events(spark: SparkSession, sfDir: String): DataFrame =
     graft.data.Tables.read(spark, sfDir, "events")
 
-  /** Latest event per user — deterministic argmax via row_number over
-    * (ts DESC, event_id DESC). Window shuffles once on user_id; at scale
-    * this is the standard argmax shape (no driver collect). */
-  def latestEventPerUser(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
+  /** Latest event per user — deterministic argmax on (ts, event_id) via
+    * max_by, NOT a row_number window: the aggregate partially combines
+    * map-side, so the shuffle carries one row per (partition, user) while
+    * the window formulation would ship EVERY event to its user's reducer
+    * and sort there. Tie-break by event_id (unique) keeps it exact. */
+  def latestEventPerUser(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("user_id", "event_id", "event_type", "ts", "value")
-  }
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id"), col("m.event_type"),
+        col("m.ts"), col("m.value"))
 
   /** Censoring cascade per order — the V5/V6 dateOfProgressionOrCensoring
     * shape (MTBValidators.scala:176-208), all four reference levels:

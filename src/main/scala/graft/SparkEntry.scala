@@ -82,6 +82,19 @@ object SparkEntry {
         expr("percentile(n_chars, 0.9D)").as("q90"))
         .select(lit("n_chars").as("col_name"), col("q25"), col("q50"),
           col("q75"), col("q90"))),
+    // approx quantiles: the 10^12-row scale path — Greenwald-Khanna
+    // summaries merge in constant memory where exact percentile() buffers
+    // every value on one reducer (rows-only; tolerance vs exact asserted
+    // in EngineSpec)
+    "stats_quantiles_approx" -> ((s, d) =>
+      graft.data.Tables.read(s, d, "documents")
+        .agg(expr("approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D), 10000)")
+          .as("qs"))
+        .select(lit("n_chars").as("col_name"),
+          element_at(col("qs"), 1).cast("double").as("q25"),
+          element_at(col("qs"), 2).cast("double").as("q50"),
+          element_at(col("qs"), 3).cast("double").as("q75"),
+          element_at(col("qs"), 4).cast("double").as("q90"))),
     // mergeable HLL sketches (approximate -> rows-only check, no oracle)
     "stats_hll" -> ((s, d) => {
       val cols = Seq("doc_id", "text", "lang", "source")

@@ -137,4 +137,18 @@ class EngineSpec extends SparkSpec {
     val latest = Derive.latestEventPerUser(spark, sf)
     assert(latest.groupBy("user_id").count().where(col("count") > 1).count() == 0)
   }
+
+  test("approx quantiles track the exact ones within summary tolerance") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = docs.agg(
+      expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
+      .select(explode(col("qs"))).as[Double].collect()
+    val approx = docs.agg(
+      expr("approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D), 10000)").as("qs"))
+      .select(explode(col("qs")).as("q")).select(col("q").cast("double"))
+      .as[Double].collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= math.max(2.0, e * 0.02), s"approx $a vs exact $e")
+    }
+  }
 }

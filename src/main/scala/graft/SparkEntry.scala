@@ -291,7 +291,8 @@ object SparkEntry {
           |FROM events GROUP BY 1) t""".stripMargin,
       "report_quarterly" ->
         """SELECT CAST(year(ts) AS INT) AS yr, CAST(quarter(ts) AS INT) AS qtr, event_type,
-          |       count(*) AS n_events, CAST(round(sum(value)) AS BIGINT) AS value_sum
+          |       count(*) AS n_events,
+          |       CAST((sum(CAST(round(value*100) AS BIGINT)) + 50) // 100 AS BIGINT) AS value_sum
           |FROM events GROUP BY 1,2,3""".stripMargin,
       "stats_columns" ->
         Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>

@@ -75,8 +75,12 @@ object Derive {
   }
 
   /** Quarterly report aggregation (V34): counts + value totals per
-    * (year, quarter, event_type); doubles rounded to whole units so the
-    * result is summation-order independent. */
+    * (year, quarter, event_type). Values are money with 2 decimals, so the
+    * total is summed as EXACT integer cents — a float sum is summation-
+    * order dependent and at sf0.1 one group landed on a .5 rounding
+    * boundary, flipping the rounded total by 1 between engines. Integer
+    * arithmetic is associative: identical result under any partitioning.
+    * (Values are non-negative, so +50 DIV 100 is round-half-up.) */
   def quarterlyReport(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir)
       .groupBy(
@@ -85,5 +89,7 @@ object Derive {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value"))).cast("long").as("value_sum"))
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("yr"), col("qtr"), col("event_type"), col("n_events"),
+        expr("(cents + 50) DIV 100").as("value_sum"))
 }

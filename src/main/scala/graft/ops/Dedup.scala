@@ -205,9 +205,14 @@ object Dedup {
       .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
       .where(size(col("members")) > 1)
       // fused compiled pair-expand + Hamming verify: emits only passing
-      // pairs instead of materializing every bucket pair (see HammingPairs)
+      // pairs instead of materializing every bucket pair (see HammingPairs).
+      // cap 10000: the cap bounds per-bucket WORK (|bucket|^2 cheap bitcount
+      // ops, ~50M at the cap), not memory — only passing pairs materialize.
+      // The shared-vocabulary corpus drives hot chunk buckets past 2.5k
+      // members at sf0.1, so a 1k cap silently dropped exact pairs there.
       .select(explode_outer(
-        graft.functions.HammingPairs(col("members"), maxHamming)).as("p"))
+        graft.functions.HammingPairs(col("members"), maxHamming,
+          maxItems = 10000)).as("p"))
       .where(col("p").isNotNull)
       .select(col("p.doc_id_a").as("doc_id_a"), col("p.doc_id_b").as("doc_id_b"),
         col("p.hamming").as("hamming"))

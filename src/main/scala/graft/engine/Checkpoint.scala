@@ -95,6 +95,12 @@ object Checkpoint {
           col("v.path"), col("v.message"))
       TableIO.write(verdicts, s"$outDir/verdicts/bucket=$b")
       TableIO.write(violations, s"$outDir/violations/bucket=$b")
+      // per-rule breakdown for the metrics table: which constraints fire
+      // how often per unit of work (drives rule-drift monitoring downstream)
+      TableIO.write(
+        violations.groupBy("rule_id", "severity").count()
+          .withColumn("run_id", lit(runId)),
+        s"$outDir/rule_metrics/bucket=$b")
       // one wide aggregate per bucket -> the validation-metrics row
       val m = verdicts.agg(
         count(lit(1)),

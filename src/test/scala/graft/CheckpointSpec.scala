@@ -29,6 +29,15 @@ class CheckpointSpec extends SparkSpec {
     val lin = spark.read.parquet(Checkpoint.lineagePath(dir))
     assert(lin.count() == 8)
     assert(lin.agg(sum("n_docs")).collect().head.getLong(0) == oneShot.count())
+    // per-rule metrics table: stitched per-bucket counts equal one-shot
+    val ruleCounts = spark.read.parquet(s"$dir/rule_metrics")
+      .groupBy("rule_id").agg(sum("count").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShotRules = Validate.violations(DocGen.docs(spark, sf),
+        DocGen.mediaCatalogMap(spark, sf))
+      .groupBy("rule_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ruleCounts == oneShotRules)
   }
 
   test("re-running a completed checkpoint is a no-op (idempotent)") {

@@ -36,7 +36,10 @@ class TopKAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]]
         case -1 => buf.size
         case j => j
       }
-      (buf.take(i) :+ x) ++ buf.drop(i).take(k - i - 1)
+      // i == k only for an exact (score, id) duplicate of a full buffer's
+      // last element (callers have unique ids, but stay safe): drop it
+      if (i >= k) buf
+      else (buf.take(i) :+ x) ++ buf.drop(i).take(k - i - 1)
     }
   }
 

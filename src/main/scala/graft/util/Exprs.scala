@@ -28,9 +28,11 @@ object Exprs {
     * `maxItems` is the skew guard for web scale: a pathological hot bucket
     * (e.g. a boilerplate shingle shared by millions of docs) would expand
     * quadratically; it is truncated deterministically to the first
-    * maxItems sorted members instead. Sandbox buckets are far below the
-    * cap (max 19 observed at sf0.1), so exact-oracle comparisons are
-    * unaffected. */
+    * maxItems sorted members instead. Measured sf0.1 maxima are far below
+    * the cap for every caller (minhash bands 15, ngram shingle groups 27,
+    * cosine-LSH buckets 190), so exact-oracle comparisons are unaffected;
+    * simhash chunk buckets DO run hot (2.5k) and use the fused
+    * functions.HammingPairs with its own larger cap instead. */
   def sortedPairs(items: Column, maxItems: Int = 1000): Column =
     withLet(slice(array_sort(items), 1, maxItems)) { s =>
       flatten(transform(sequence(lit(2), size(s)), i =>

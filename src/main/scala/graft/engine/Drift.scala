@@ -53,6 +53,29 @@ object Drift {
     psiKsFromCounts(counts, nBuckets)
   }
 
+  /** Rule-level drift: PSI between two per-rule violation-count tables
+    * (the Checkpoint metrics rows of a baseline run vs the current run) —
+    * which CONSTRAINTS are firing differently, the complement of the
+    * value-distribution drift above. Categories are the union of rule_ids
+    * (full outer join; Laplace smoothing keeps new/vanished rules finite).
+    * Input shape: (rule_id, count). */
+  def rulePsi(baseline: DataFrame, current: DataFrame): DataFrame = {
+    val counts = baseline.select(col("rule_id"), col("count").as("ca"))
+      .join(current.select(col("rule_id"), col("count").as("cb")),
+        Seq("rule_id"), "full_outer")
+      .select(col("rule_id"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val whole = Window.partitionBy(lit(1))
+    val n = counts.withColumn("nrules", count(lit(1)).over(whole))
+      .withColumn("na", sum("ca").over(whole))
+      .withColumn("nb", sum("cb").over(whole))
+      .withColumn("pa", (col("ca") + 0.5) / (col("na") + col("nrules") * 0.5))
+      .withColumn("pb", (col("cb") + 0.5) / (col("nb") + col("nrules") * 0.5))
+    n.agg(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))).as("v"))
+      .select(lit("rule_psi").as("metric"), round(col("v"), 6).as("value"))
+  }
+
   /** PSI + KS from per-bucket (ca=baseline, cb=current) counts. */
   private def psiKsFromCounts(counts: DataFrame, nBuckets: Int): DataFrame = {
     val whole = Window.partitionBy(lit(1))

@@ -56,6 +56,23 @@ class StreamingAndMetricsSpec extends SparkSpec {
     assert(drift("ks") > 0.3, s"ks ${drift("ks")}")
   }
 
+  test("rule-level drift: same rule mix ~ 0, shifted rule mix detected") {
+    val catalog = DocGen.mediaCatalogMap(spark, sf)
+    val docs = DocGen.docs(spark, sf)
+    def ruleCounts(d: org.apache.spark.sql.DataFrame) =
+      Validate.violations(d, catalog).groupBy("rule_id").count()
+    val ok = split(col("doc_id"), "-").getItem(0).cast("long")
+    val base = ruleCounts(docs.where(ok % 2 === 0))
+    val same = ruleCounts(docs.where(ok % 2 === 1))
+    val psiSame = Drift.rulePsi(base, same).select("value").as[Double].head()
+    assert(math.abs(psiSame) < 0.05, s"same rule mix must be ~0, got $psiSame")
+    // shift: suppress two rule families from the 'current' run entirely
+    val shifted = ruleCounts(docs.where(ok % 2 === 1))
+      .where(!col("rule_id").isin("R_HAS_MEDIA", "R_KIND_VOCAB"))
+    val psiShift = Drift.rulePsi(base, shifted).select("value").as[Double].head()
+    assert(psiShift > 0.25, s"suppressed rule families must register, got $psiShift")
+  }
+
   test("streaming verdicts over micro-batches equal the batch pass") {
     val dir = stage("lineitem")
     val catalog = DocGen.mediaCatalogMap(spark, sf)

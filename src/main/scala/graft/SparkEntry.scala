@@ -159,7 +159,9 @@ object SparkEntry {
       ops.TextAnalysis.bpeTokens(graft.data.Tables.read(s, d, "documents"))),
     // ---- training-data pipeline: multimodal plumbing ----------------------
     "multimodal_summary" -> ((s, d) =>
-      ops.Multimodal.mediaSummary(graft.data.Tables.read(s, d, "documents")))
+      ops.Multimodal.mediaSummary(graft.data.Tables.read(s, d, "documents"))),
+    "multimodal_frames" -> ((s, d) =>
+      ops.Multimodal.frameSample(graft.data.Tables.read(s, d, "documents")))
   )
 
   /** DuckDB oracles. Expected violations are recomputed from the injection
@@ -528,6 +530,17 @@ object SparkEntry {
           |    i -> i * (31*length(t[i]) + 7*ascii(substr(t[i],1,1)) + ascii(substr(t[i],length(t[i]),1)))))
           |    AS BIGINT) % 1000003 AS fp_roll
           |FROM tok""".stripMargin,
+      // frame sampling recomputed from byte arithmetic: every 3rd 64-byte
+      // frame -> offsets k*192; the short last frame truncates via least()
+      "multimodal_frames" ->
+        """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS total, text FROM documents),
+          |s AS (SELECT doc_id, total, text,
+          |  CAST(ceil(ceil(total / 64.0) / 3.0) AS INT) AS n_sampled FROM m)
+          |SELECT doc_id, n_sampled,
+          |  CAST(coalesce(list_sum(list_transform(generate_series(0, n_sampled - 1),
+          |    k -> least(64, total - k*192))), 0) AS INT) AS sampled_bytes,
+          |  substring(text, 1, 64) AS first_frame_str
+          |FROM s""".stripMargin,
       "multimodal_summary" ->
         """SELECT doc_id,
           |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,

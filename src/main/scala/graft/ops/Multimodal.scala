@@ -57,6 +57,47 @@ object Multimodal {
       }
   }
 
+  /** Every-Nth fixed-size frame of a binary payload, as pure Column algebra
+    * (REAL, not stubbed: fixed-size frame slicing is codec-independent —
+    * the standard cheap frame-sampling pass before an expensive per-frame
+    * decode). Guarded so `sequence` never runs descending on empty
+    * payloads. */
+  def sampleFrames(payload: org.apache.spark.sql.Column, frameBytes: Int,
+                   everyN: Int): org.apache.spark.sql.Column = {
+    val nFrames = ceil(length(payload) / lit(frameBytes.toDouble)).cast("int")
+    val nSampled = ceil(nFrames / lit(everyN.toDouble)).cast("int")
+    val stride = frameBytes * everyN
+    when(nSampled > 0,
+      transform(sequence(lit(0), nSampled - 1),
+        i => payload.substr(i * stride + 1, lit(frameBytes))))
+      .otherwise(array().cast("array<binary>"))
+  }
+
+  /** Resize a decoded feature vector to `outDim` by average-pooling equal
+    * strides — the thumbnailing analog over the stubbed decode output
+    * (a codec-backed pipeline pools pixels the same way). Requires
+    * size(features) to be a multiple of outDim. */
+  def resizePooled(features: org.apache.spark.sql.Column,
+                   outDim: Int): org.apache.spark.sql.Column = {
+    val stride = size(features) / outDim
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      (aggregate(slice(features, j * stride + 1, stride), lit(0.0f),
+        (acc, x) => acc + x) / stride).cast("float"))
+  }
+
+  /** Oracle-checkable frame-sampling projection: every 3rd 64-byte frame;
+    * counts, sampled-byte total and the first frame round-tripped to string
+    * (payloads are ASCII in the sandbox). */
+  def frameSample(documents: DataFrame, frameBytes: Int = 64,
+                  everyN: Int = 3): DataFrame = {
+    val frames = sampleFrames(col("payload"), frameBytes, everyN)
+    mediaTable(documents).select(
+      col("doc_id"),
+      size(frames).as("n_sampled"),
+      aggregate(frames, lit(0), (acc, f) => acc + length(f)).as("sampled_bytes"),
+      try_element_at(frames, lit(1)).cast("string").as("first_frame_str"))
+  }
+
   /** Oracle-checkable flat projection of the media pipeline (byte lengths,
     * frame counts, first codepoint) — pure Column ops, no UDF. */
   def mediaSummary(documents: DataFrame, frameBytes: Int = 64): DataFrame =

@@ -217,6 +217,24 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) == "de" && got(2L) == "en")
   }
 
+  test("multimodal: frame sampling slices exact byte ranges; resize pools") {
+    val df = Seq((1L, "a" * 200), (2L, "b" * 64), (3L, "")).toDF("doc_id", "text")
+    val got = Multimodal.frameSample(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_sampled"), r.getAs[Int]("sampled_bytes"),
+          r.getAs[String]("first_frame_str")))).toMap
+    // 200 bytes = frames [0,64) [64,128) [128,192) [192,200); every 3rd ->
+    // frames 0 and 3 -> 64 + 8 bytes
+    assert(got(1L) == ((2, 72, "a" * 64)))
+    assert(got(2L) == ((1, 64, "b" * 64)))
+    assert(got(3L)._1 == 0 && got(3L)._2 == 0)
+    // resize: average-pool 4 -> 2
+    val pooled = Seq(Tuple1(Seq(1f, 3f, 5f, 7f))).toDF("features")
+      .select(Multimodal.resizePooled(col("features"), 2).as("r"))
+      .as[Seq[Float]].head()
+    assert(pooled == Seq(2f, 6f))
+  }
+
   test("multimodal: stub decode features are deterministic and normalized") {
     val media = Multimodal.mediaTable(documents)
     val feats = Multimodal.extractFeatures(spark, media).cache()

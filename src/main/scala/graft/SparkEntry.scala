@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.data.DocGen
 import graft.engine._
@@ -50,10 +50,15 @@ object SparkEntry {
     // latest-by over an in-row versioned sequence (V31: array_sort +
     // element_at(-1), no explode, no shuffle)
     "derive_latest_span" -> ((s, d) => {
-      // try_element_at: ANSI mode (Spark 4 default) raises on empty arrays
+      // try_element_at: ANSI mode (Spark 4 default) raises on empty arrays.
+      // when() comparator, not `a.offset - b.offset`: the subtraction would
+      // overflow under ANSI at int extremes and NULL-poison the sort on
+      // null offsets (same hardening as CoreRules R_TAIL_EITHER_OR).
+      def off(c: Column) = c.getField("offset")
       val latest = try_element_at(
         array_sort(col("spans"), (a, b) =>
-          a.getField("offset") - b.getField("offset")), lit(-1))
+          when(off(a) < off(b), -1).when(off(a) > off(b), 1).otherwise(0)),
+        lit(-1))
       DocGen.docs(s, d).select(
         col("doc_id"),
         latest.getField("kind").as("last_kind"),

@@ -49,7 +49,18 @@ object Checkpoint {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Set.empty
     else {
-      val rows = TableIO.read(spark, lineagePath(outDir))
+      val lineage = TableIO.read(spark, lineagePath(outDir))
+      // schema probe BEFORE selecting: lineage written by an older engine
+      // version (pre n_buckets/input_id) must fail with a clear message,
+      // not an opaque missing-column AnalysisException mid-plan
+      val missing = Seq("bucket", "n_buckets", "input_id")
+        .filterNot(lineage.columns.contains)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"lineage at $outDir was written by an older engine version " +
+            s"(missing columns: ${missing.mkString(", ")}); clear the " +
+            "checkpoint directory or migrate the lineage table to resume")
+      val rows = lineage
         .select("bucket", "n_buckets", "input_id").distinct().collect()
       for (r <- rows) {
         nBuckets.filter(_ != r.getInt(1)).foreach { n =>

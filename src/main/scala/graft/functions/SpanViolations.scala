@@ -127,10 +127,13 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
     b(0) >= 'A' && b(0) <= 'Z' && b(1) >= 'A' && b(1) <= 'Z'
   }
 
-  /** digits-only parse; >9 digits counts as out-of-range (never in data). */
+  /** digits-only parse up to 18 digits (always fits a long), so zero-padded
+    * values like '0000000001' compare NUMERICALLY — matching the declarative
+    * guard (`when(length <= 18, cast('bigint'))`). Longer digit strings are
+    * out-of-range by definition in both paths. */
   private def numericValue(s: UTF8String): Long = {
     val b = s.getBytes
-    if (b.length == 0 || b.length > 9) return -1L
+    if (b.length == 0 || b.length > 18) return -1L
     var v = 0L
     var i = 0
     while (i < b.length) {
@@ -184,7 +187,7 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
               // only digit-only strings participate in the range rule
               val v = numericValue(text)
               if (v >= 0 && (v < 1 || v > 50)) badRange = true
-              else if (v == -1L && text.numBytes > 9 && allDigits(text)) badRange = true
+              else if (v == -1L && text.numBytes > 18 && allDigits(text)) badRange = true
             }
           } else if (kind.equals(KIND_MEDIA)) {
             hasMedia = true

@@ -24,8 +24,15 @@ case class ScoredId(score: Double, id: Long)
   */
 class TopKAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
 
-  private def before(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // java.lang.Double.compare, not > / ==: Spark's sort order ranks NaN
+  // greater than every double (a NaN-scored candidate would be row 1 under
+  // row_number), and raw > treats NaN as never-before — diverging exactly
+  // when a zero-norm vector yields 0/0 = NaN cosine. Double.compare also
+  // orders -0.0 < 0.0, matching Spark.
+  private def before(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: Seq[ScoredId] = Vector.empty
 

@@ -86,9 +86,15 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("sh")).as("n"), explode_outer(col("sh")).as("s"))
       .where(col("s").isNotNull)
+    // size-bounded collect: a boilerplate shingle shared by millions of
+    // docs must not materialize its full membership in one aggregation
+    // buffer — the buffer itself is capped at the 1000 smallest members
+    // (identical retention rule to sortedPairs' cap, so results match
+    // slice(array_sort(collect_list(..)), 1, 1000) bit-for-bit).
     val buckets = ex
       .groupBy(col("lang"), col("source"), col("s"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ids"))
+      .agg(graft.functions.BoundedCollect.docN(1000)(col("doc_id"), col("n"))
+        .as("ids"))
       .where(size(col("ids")) > 1)
     buckets
       .select(explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))
@@ -133,9 +139,12 @@ object Dedup {
       .select(col("doc_id"), explode_outer(bandsExpr).as("bs"))
       .where(col("bs").isNotNull)
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // bounded membership: a million-fold exact-dup cluster lands its whole
+    // cluster in ONE band bucket — cap the aggregation buffer (not just the
+    // downstream pair expansion) at the 1000 smallest doc_ids
     val candidates = banded
       .groupBy(col("band"), col("sig"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(graft.functions.BoundedCollect.longs(1000)(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))
       .where(col("p").isNotNull)
@@ -202,12 +211,20 @@ object Dedup {
       .select(col("doc_id"), col("sim"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
     chunked
       .groupBy(col("chunk"), col("cv"))
-      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
+      // size-bounded collect: simhash's 8x256-value chunk-key space makes
+      // EVERY bucket hold ~n/256 members at 10^9+ docs, so the membership
+      // buffer itself (not just the pair expansion) must be capped — at
+      // 10000, matching HammingPairs' deterministic first-10000-by-doc_id
+      // truncation, so results are unchanged. Beyond the cap the Hamming<=7
+      // exactness guarantee degrades gracefully (a pair is missed only if
+      // both docs fall beyond the cap in all 8 chunks); at that scale the
+      // right fix is wider chunks or Manku-style sorted-rotation tables,
+      // which trade key-space width against table count.
+      .agg(graft.functions.BoundedCollect.docSim(10000)(col("doc_id"), col("sim"))
+        .as("members"))
       .where(size(col("members")) > 1)
       // fused compiled pair-expand + Hamming verify: emits only passing
       // pairs instead of materializing every bucket pair (see HammingPairs).
-      // cap 10000: the cap bounds per-bucket WORK (|bucket|^2 cheap bitcount
-      // ops, ~50M at the cap), not memory — only passing pairs materialize.
       // The shared-vocabulary corpus drives hot chunk buckets past 2.5k
       // members at sf0.1, so a 1k cap silently dropped exact pairs there.
       .select(explode_outer(

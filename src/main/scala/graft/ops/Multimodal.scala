@@ -76,13 +76,17 @@ object Multimodal {
   /** Resize a decoded feature vector to `outDim` by average-pooling equal
     * strides — the thumbnailing analog over the stubbed decode output
     * (a codec-backed pipeline pools pixels the same way). Requires
-    * size(features) to be a multiple of outDim. */
+    * size(features) to be a multiple of outDim: violations return NULL
+    * (visible) instead of silently pooling with a fractional stride —
+    * the double-division stride used to truncate inside slice() but divide
+    * fractionally in the average. */
   def resizePooled(features: org.apache.spark.sql.Column,
                    outDim: Int): org.apache.spark.sql.Column = {
-    val stride = size(features) / outDim
-    transform(sequence(lit(0), lit(outDim - 1)), j =>
-      (aggregate(slice(features, j * stride + 1, stride), lit(0.0f),
-        (acc, x) => acc + x) / stride).cast("float"))
+    val stride = (size(features) / lit(outDim)).cast("int")
+    when(size(features) > 0 && size(features) % outDim === 0,
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        (aggregate(slice(features, j * stride + 1, stride), lit(0.0f),
+          (acc, x) => acc + x) / stride).cast("float")))
   }
 
   /** Oracle-checkable frame-sampling projection: every 3rd 64-byte frame;

@@ -77,9 +77,11 @@ object Similarity {
     val banded = e
       .select(col("vec_id"), posexplode_outer(buckets).as(Seq("table", "bucket")))
       .where(col("bucket").isNotNull)
+    // size-bounded collect (cap = sortedPairs' 1000): a hot LSH bucket must
+    // not materialize its full membership in one aggregation buffer
     val candidates = banded
       .groupBy(col("table"), col("bucket"))
-      .agg(collect_list(col("vec_id")).as("ids"))
+      .agg(graft.functions.BoundedCollect.longs(1000)(col("vec_id")).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))
       .where(col("p").isNotNull)

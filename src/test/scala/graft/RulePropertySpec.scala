@@ -18,7 +18,10 @@ class RulePropertySpec extends SparkSpec {
     kind <- Gen.option(Gen.oneOf("text", "media", "blob", "TEXT", ""))
     text <- Gen.option(Gen.oneOf(
       "AB", "ab", "A", "7", "0", "50", "51", "999", "007",
-      "99999999999", "12345678901234567890123", "hello world", ""))
+      "99999999999", "12345678901234567890123", "hello world", "",
+      // leading-zero numerics: caught a compiled/declarative divergence
+      // (9- vs 18-digit parse limits) invisible to the other strings
+      "0000000001", "000000000000000051", "0000000000000000007"))
     ref <- Gen.option(Gen.oneOf(
       "m1", "m2", "x9", "v1/m1", "v1/m2", "v2/m1", "v9/m1", "a/b/m1", "/m1", "v1/"))
     off <- Gen.chooseNum(-3, 12) // narrow range -> frequent sort ties

@@ -19,6 +19,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor: with parallelismFirst (default) the coalesce
+      // target is max(totalBytes/defaultParallelism, minPartitionSize); a
+      // 1-byte floor means "never coalesce below default parallelism".
+      // Shuffle BYTES are a bad proxy for this engine's CPU-heavy-per-byte
+      // stages (minhash/shingle/LSH projections): the default 1MB floor
+      // serialized the whole dedup_minhash_lsh verify onto ONE task
+      // (9.1 s -> 1.7 s at sf0.1, measured). At production byte scales
+      // totalBytes/parallelism >> 1MB, so behavior there is unchanged.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

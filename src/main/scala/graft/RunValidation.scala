@@ -17,6 +17,8 @@ object RunValidation {
     val runId = if (args.length > 3) args(3) else "r1"
     val builder = SparkSession.builder()
       .appName("graft-validation")
+      // never AQE-coalesce below default parallelism (see Bench.scala)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
       .config("spark.sql.session.timeZone", "UTC")
     // spark-submit injects the master; default for bare JVM runs
     val spark = sys.props.get("spark.master").orElse(sys.env.get("MASTER"))

@@ -24,6 +24,8 @@ object ScalingBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // never AQE-coalesce below default parallelism (see Bench.scala)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -10,6 +10,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // never AQE-coalesce below default parallelism (see Bench.scala)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * still discoverable through its other 7 chunk buckets.
   */
 case class HammingPairs(child: Expression, maxHamming: Int, maxItems: Int = 1000)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("doc_id_a", LongType, nullable = false),
@@ -30,8 +30,17 @@ case class HammingPairs(child: Expression, maxHamming: Int, maxItems: Int = 1000
     StructField("hamming", IntegerType, nullable = false))))
   override def nullable: Boolean = child.nullable
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("hammingPairs", this)
+      s"${ev.value} = $self.compute($c);"
+    })
+
+  /** Compiled body, shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): ArrayData = {
     val total = arr.numElements()
     val n = math.min(total, maxItems)
     val ids = new Array[Long](total)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -16,13 +16,14 @@ import org.apache.spark.sql.types._
   * functions (transform/zip_with/array_min over 64 permutations) evaluates
   * one interpreted lambda per (permutation x shingle) — ~1 microsecond each,
   * ~3.3k per doc (measured ~30 s for 5100 docs at sf0.1). This tight loop
-  * does the identical math (xxhash64 base hash per shingle, 31-bit affine
-  * universal-hash permutations, min-fold, band mixing) in compiled Scala.
-  * Interpreted eval is fine here (CodegenFallback): the expression is called
-  * once per row and its body is already compiled code.
+  * does the identical math (xxhash64 base hash per shingle, murmur-fmix64
+  * permutations, min-fold, band mixing) in compiled Scala. doGenCode emits
+  * one virtual call per row into this body, so the surrounding projection
+  * stays fused in whole-stage codegen instead of materializing rows at a
+  * CodegenFallback boundary.
   */
 case class MinHashBands(child: Expression, numHashes: Int, rowsPerBand: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   private val nBands = numHashes / rowsPerBand
 
@@ -48,8 +49,17 @@ case class MinHashBands(child: Expression, numHashes: Int, rowsPerBand: Int)
     x
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("minhashBands", this)
+      s"${ev.value} = $self.compute($c);"
+    })
+
+  /** Compiled body, shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val mins = Array.fill(numHashes)(Long.MaxValue)

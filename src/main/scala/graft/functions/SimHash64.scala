@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * rows+schema+hash gate. Long arithmetic wraps silently in Scala — that
   * wraparound IS the mod-2^64. */
 case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -26,8 +26,20 @@ case class SimHash64(child: Expression)
   private final val FNV_BASIS = 0xcbf29ce484222325L
   private final val FNV_PRIME = 0x100000001b3L
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // one virtual call per row into this compiled body; the projection
+      // around it stays inside whole-stage codegen (no fallback row
+      // materialization)
+      val self = ctx.addReferenceObj("simhash", this)
+      s"${ev.value} = $self.compute($c);"
+    })
+
+  /** Compiled body, shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -52,7 +64,7 @@ case class SimHash64(child: Expression)
       if (counts(j) > 0) sim |= (1L << j)
       j += 1
     }
-    java.lang.Long.valueOf(sim)
+    sim
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,7 +29,7 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
                           vocab: Seq[String],
                           catalogByVersion: Map[String, Seq[String]],
                           latestVersion: String)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(Schemas.violationStruct)
   override def nullable: Boolean = child.nullable
@@ -144,8 +144,21 @@ case class SpanViolations(child: Expression, catalogKeys: Seq[String],
     v
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val spans = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** doGenCode keeps the flagship validation projection INSIDE whole-stage
+    * codegen: one virtual call per row into this compiled body, instead of
+    * the CodegenFallback wrapper that materializes an input row at the
+    * expression boundary. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("spanViolations", this)
+      s"${ev.value} = $self.compute($c);"
+    })
+
+  /** Compiled body, shared by interpreted eval and generated code. */
+  def compute(spans: ArrayData): ArrayData = {
     val n = spans.numElements()
     var kindNull, textMissing, badVocab, dangling, badFormat, badRange = false
     var mediaWithText, outOfOrder, hasMedia = false

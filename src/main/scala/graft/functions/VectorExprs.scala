@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -38,9 +38,14 @@ object VectorExprs {
 
 /** Sequential left-fold dot product of two array<double> columns.
   * NULL-parity with `aggregate(zip_with(a,b,*), 0.0, +)`: a length mismatch
-  * (zip_with pads with null) or any null element yields NULL. */
+  * (zip_with pads with null) or any null element yields NULL.
+  *
+  * Generates a primitive Java loop (doGenCode) so the hottest inner kernel
+  * of every similarity operator stays INSIDE whole-stage codegen — a
+  * CodegenFallback here would force row materialization at the expression
+  * boundary of every scored candidate pair. */
 case class DotProduct(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -59,6 +64,26 @@ case class DotProduct(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(acc)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
@@ -85,7 +110,7 @@ object DotProduct {
   * caller's isNotNull guard, matching the HOF's null-poisoning).
   */
 case class LshBuckets(child: Expression, nBits: Int, nTables: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   require(nBits > 0 && nBits <= 63 && nTables > 0)
 
   override def dataType: DataType = ArrayType(LongType)
@@ -108,8 +133,15 @@ case class LshBuckets(child: Expression, nBits: Int, nTables: Int)
     s
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Compiled body, shared by interpreted eval and generated code (the
+    * generated projection calls it through a reference object — one virtual
+    * call per row, everything around it stays fused in whole-stage codegen
+    * instead of falling back to row materialization). Returns null on any
+    * null element. */
+  def compute(arr: ArrayData): ArrayData = {
     val dim = arr.numElements()
     val v = new Array[Double](dim)
     var i = 0
@@ -136,6 +168,15 @@ case class LshBuckets(child: Expression, nBits: Int, nTables: Int)
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("lshBuckets", this)
+      s"""
+         |${ev.value} = $self.compute($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): LshBuckets = copy(child = c)
   override def prettyName: String = "lsh_buckets"

@@ -132,10 +132,12 @@ object Dedup {
       graft.functions.MinHashBands(shingles(col("text")), numHashes, rowsPerBand)
     // explode_outer: plain explode triggers InferFiltersFromGenerate, which
     // duplicates the whole minhash expression into a pushed-down Filter
+    // No tokens>=3 pre-filter: MinHashBands emits ZERO bands for a
+    // shingle-less doc (empty array -> explode_outer null -> dropped), so
+    // the filter is redundant — and harmful: Catalyst pushes the HOF
+    // predicate into the FileScan's DataFilters, evaluating the whole
+    // tokenize per corpus row BEFORE the parallelism fan-out.
     val banded = corpus
-      // shingle-less docs would all share the hash-of-empty signature and
-      // cross-bucket into a spurious mega-candidate-set: drop them first
-      .where(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"), explode_outer(bandsExpr).as("bs"))
       .where(col("bs").isNotNull)
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -152,21 +154,35 @@ object Dedup {
       .distinct()
     // exact verify: intersect 64-bit-hashed shingle sets (hashing preserves
     // distinct counts up to ~1e-14 collision odds; long intersects are far
-    // cheaper than string intersects). The shingled table is one row per
-    // corpus doc — never broadcast-hint it (driver OOM at 10^12 docs).
-    // Instead semi-join it down to candidate participants: `candIds` is
-    // candidate-sized, AQE broadcasts it into the corpus scan (no corpus
-    // shuffle), and the two verify joins run against a candidate-sized
-    // table that AQE is free to broadcast when it genuinely fits.
-    val shingled = corpus.select(col("doc_id"),
-      transform(shingles(col("text")), s => xxhash64(s)).as("sh"))
-    val candIds = candidates
-      .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
-      .distinct()
-    val candShingled = shingled.join(candIds, "doc_id")
-    val a = candShingled.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val b = candShingled.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    candidates.join(a, "doc_id_a").join(b, "doc_id_b")
+    // cheaper than string intersects). Structure matters twice here:
+    //  (1) `candidates` must be referenced exactly ONCE — Spark does not
+    //      materialize shared DataFrame subplans, so every extra reference
+    //      re-executes the whole banding pipeline (the round-2 shape
+    //      referenced it three times: final join + one candIds semi-join
+    //      per verify side — the dedup_minhash_lsh driver-bench
+    //      regression);
+    //  (2) shingling must sit ABOVE the corpus join so it runs on matched
+    //      (candidate-sized) rows only, never once per corpus doc.
+    // So: reshape each pair to two (pair, member) rows, join the RAW corpus
+    // once on doc_id (m is candidate-sized — AQE broadcasts it; never hint
+    // the corpus side), shingle the matched rows, and regroup per pair with
+    // a candidate-sized shuffle. first(ignoreNulls) is deterministic:
+    // exactly one non-null per side per pair.
+    val m = candidates.select(
+      col("doc_id_a"), col("doc_id_b"),
+      explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
+    val matched = corpus.select(col("doc_id"), col("text"))
+      .join(m, "doc_id")
+      .select(col("doc_id_a"), col("doc_id_b"), col("doc_id"),
+        transform(shingles(col("text")), s => xxhash64(s)).as("sh"))
+    val paired = matched
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(
+        first(when(col("doc_id") === col("doc_id_a"), col("sh")),
+          ignoreNulls = true).as("sh_a"),
+        first(when(col("doc_id") === col("doc_id_b"), col("sh")),
+          ignoreNulls = true).as("sh_b"))
+    paired
       .select(
         col("doc_id_a") +: col("doc_id_b") +:
           pairStats(col("sh_a"), col("sh_b")): _*)

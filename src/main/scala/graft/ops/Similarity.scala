@@ -72,9 +72,8 @@ object Similarity {
     // p = 1 - acos(0.9)/pi, and far lower for the injected near-dups;
     // fewer bits -> bigger buckets -> more (cheap, exact-verified)
     // candidates in exchange for recall.
-    val e = emb.withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val buckets = graft.functions.LshBuckets(col("v"), nBits, nTables)
-    val banded = e
+    val banded = emb
       .select(col("vec_id"), posexplode_outer(buckets).as(Seq("table", "bucket")))
       .where(col("bucket").isNotNull)
     // size-bounded collect (cap = sortedPairs' 1000): a hot LSH bucket must
@@ -87,19 +86,27 @@ object Similarity {
       .where(col("p").isNotNull)
       .select(col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"))
       .distinct()
-    // verify lookup: `e` is one row per corpus vector — a broadcast hint on
-    // it would OOM the driver at web scale. Semi-join it down to candidate
-    // participants (candIds is candidate-sized, AQE broadcasts it into the
-    // scan), then verify against the candidate-sized table with plain
-    // equi-joins; AQE picks broadcast when it genuinely fits.
-    val candIds = candidates
-      .select(explode(array(col("vec_id_a"), col("vec_id_b"))).as("vec_id"))
-      .distinct()
-    val candVecs = e.join(candIds, "vec_id")
-    val a = candVecs.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na"))
-    val b = candVecs.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("norm").as("nb"))
-    candidates.join(a, "vec_id_a").join(b, "vec_id_b")
-      .withColumn("score", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    // verify lookup — same structure rules as Dedup.minhashLshPairs:
+    // `candidates` referenced exactly ONCE (every extra reference re-runs
+    // the whole LSH pipeline — shared subplans are not materialized), the
+    // corpus never broadcast-hinted, and the norm dot-product computed
+    // ABOVE the join so it runs on matched (candidate-sized) rows only.
+    val m = candidates.select(
+      col("vec_id_a"), col("vec_id_b"),
+      explode(array(col("vec_id_a"), col("vec_id_b"))).as("vec_id"))
+    val matched = emb.join(m, "vec_id")
+      .select(col("vec_id_a"), col("vec_id_b"), col("vec_id"),
+        struct(col("v"), sqrt(dot(col("v"), col("v"))).as("norm")).as("vn"))
+    val paired = matched
+      .groupBy(col("vec_id_a"), col("vec_id_b"))
+      .agg(
+        first(when(col("vec_id") === col("vec_id_a"), col("vn")),
+          ignoreNulls = true).as("a"),
+        first(when(col("vec_id") === col("vec_id_b"), col("vn")),
+          ignoreNulls = true).as("b"))
+    paired
+      .withColumn("score",
+        dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
       .where(col("score") >= threshold)
       .select(col("vec_id_a"), col("vec_id_b"), round(col("score"), 6).as("score_r"))
   }
@@ -205,6 +212,11 @@ object Similarity {
     val e = prepared(emb)
     val centroids = seedCentroids(e, nQueries, nCells)
     nearestCells(e.where(col("vec_id") >= nQueries), centroids, "vec_id", 1)
+      // co-locate each cell's rows before the partitioned write: without
+      // this every write task emits a file per cell it happens to hold
+      // (tasks x cells tiny files — at 1000 executors an index-wide small-
+      // file explosion); with it, one file per cell partition
+      .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
   }
 

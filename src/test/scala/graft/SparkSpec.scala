@@ -14,6 +14,8 @@ object SparkSpec {
     .master("local[4]")
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
+    // never AQE-coalesce below default parallelism (see Bench.scala)
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

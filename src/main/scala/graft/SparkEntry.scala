@@ -78,6 +78,19 @@ object SparkEntry {
     "drift_psi_ks" -> ((s, d) =>
       Drift.psiKs(graft.data.Tables.read(s, d, "documents"), "n_chars",
         col("doc_id") % 2 === 1, 50.0, 10)),
+    // rule-level drift: PSI over per-rule violation counts between two
+    // halves of the corpus (which CONSTRAINTS fire differently — the
+    // complement of value-distribution drift; one validation pass, one
+    // <=nrules-key aggregate)
+    "drift_rule_psi" -> ((s, d) =>
+      Drift.rulePsiSplit(
+        Validate.violations(DocGen.docs(s, d), DocGen.mediaCatalogMap(s, d)),
+        element_at(split(col("doc_id"), "-"), 1).cast("bigint") % 2 === 1)),
+    // batch gap-sessionization (12h gap), semantics identical to the
+    // streaming flatMapGroupsWithState path (cross-checked in SessionizeSpec)
+    "sessionize_batch" -> ((s, d) =>
+      graft.streaming.Sessionize.sessionizeBatch(
+        graft.data.Tables.read(s, d, "events"), gapMs = 12L * 3600 * 1000)),
     // exact interpolated quantiles (Spark percentile == SQL quantile_cont)
     "stats_quantiles" -> ((s, d) =>
       graft.data.Tables.read(s, d, "documents").agg(
@@ -172,16 +185,17 @@ object SparkEntry {
   /** DuckDB oracles. Expected violations are recomputed from the injection
     * predicates (pure functions of l_orderkey) — an independent derivation
     * of the same truth. */
-  def oracleSql: Map[String, String] = {
-    val liCte =
-      """WITH li AS (
-        |  SELECT l_orderkey AS ok,
-        |         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id,
-        |         l_partkey AS pk, l_returnflag AS rf, l_linestatus AS ls, l_quantity AS qty
-        |  FROM lineitem)""".stripMargin
-    Map(
-      "validate_violations" -> (liCte +
-        """
+  private val liCte =
+    """WITH li AS (
+      |  SELECT l_orderkey AS ok,
+      |         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id,
+      |         l_partkey AS pk, l_returnflag AS rf, l_linestatus AS ls, l_quantity AS qty
+      |  FROM lineitem)""".stripMargin
+
+  /** The full expected-violations recomputation (shared by the
+    * validate_violations oracle and the rule-drift oracle). */
+  private val violationsOracle: String = (liCte +
+    """
           |SELECT doc_id, 'R_KIND_PRESENT' AS rule_id, 'error' AS severity, 'spans/kind' AS path, 'span kind must be present' AS message FROM li WHERE ok%89=0 AND ok%71<>0
           |UNION ALL SELECT doc_id, 'R_TEXT_PRESENT', 'error', 'spans/text', 'text span must carry text' FROM li WHERE ok%53=0 AND ok%71<>0
           |UNION ALL SELECT doc_id, 'R_KIND_VOCAB', 'error', 'spans/kind', 'span kind must be in vocabulary' FROM li WHERE ok%83=0 AND ok%71<>0
@@ -197,7 +211,40 @@ object SparkEntry {
           |UNION ALL SELECT doc_id, 'R_TEXT_MEDIA_BALANCE', 'error', 'spans', 'doc must carry at least as many text spans as media spans' FROM li WHERE ok%71<>0 AND ok%47=0 AND ((ok%83=0 AND ok%89=0 AND ok%59<>0) OR (ok%83<>0 AND (ok%89=0 OR ok%59<>0)))
           |UNION ALL SELECT doc_id, 'R_CLASSIFIED', 'error', 'spans', 'doc must carry a header text span or a media span' FROM li WHERE ok%71=0 OR ((ok%89=0 OR ok%43=0) AND ok%59<>0 AND ok%83=0 AND ok%47<>0)
           |UNION ALL SELECT doc_id, 'R_HEADER_OFFSET_EQ', 'error', 'spans/offset', 'first span must start at the expected offset 0' FROM li WHERE ok%43=0 AND ok%71<>0
-          |UNION ALL SELECT doc_id, 'R_REF_VERSION', 'error', 'spans/media_ref', 'media_ref must resolve in its version''s catalog (fallback latest)' FROM li WHERE ok%71<>0 AND (ok%79=0 OR (ok%41=0 AND (pk%1000)%2=1))""".stripMargin),
+          |UNION ALL SELECT doc_id, 'R_REF_VERSION', 'error', 'spans/media_ref', 'media_ref must resolve in its version''s catalog (fallback latest)' FROM li WHERE ok%71<>0 AND (ok%79=0 OR (ok%41=0 AND (pk%1000)%2=1))""".stripMargin)
+
+  def oracleSql: Map[String, String] = {
+    Map(
+      "validate_violations" -> violationsOracle,
+      // rule-level drift: regroup the SAME expected-violations derivation
+      // into per-rule counts split by orderkey parity, then the PSI formula
+      // (Laplace +0.5 per category) — independent of the Spark plan
+      "drift_rule_psi" ->
+        s"""WITH v AS ($violationsOracle),
+           |c AS (SELECT rule_id,
+           |        sum(CASE WHEN CAST(string_split(doc_id,'-')[1] AS BIGINT)%2=0 THEN 1 ELSE 0 END) AS ca,
+           |        sum(CASE WHEN CAST(string_split(doc_id,'-')[1] AS BIGINT)%2=1 THEN 1 ELSE 0 END) AS cb
+           |      FROM v GROUP BY 1),
+           |t AS (SELECT ca, cb, count(*) OVER () AS nrules,
+           |             sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM c)
+           |SELECT 'rule_psi' AS metric, round(sum((pa-pb)*ln(pa/pb)), 6) AS value
+           |FROM (SELECT (ca+0.5)/(na+nrules*0.5) AS pa,
+           |             (cb+0.5)/(nb+nrules*0.5) AS pb FROM t) x""".stripMargin,
+      // batch sessionization: same lag/boundary/cumulative-count derivation
+      // over epoch-microseconds (12h gap)
+      "sessionize_batch" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+          |l AS (SELECT user_id, us, event_id,
+          |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+          |              OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+          |                 > CAST(43200000000 AS BIGINT)
+          |             THEN 1 ELSE 0 END AS new_sess FROM e),
+          |s AS (SELECT user_id, us,
+          |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+          |                            ROWS UNBOUNDED PRECEDING) AS sess_no FROM l)
+          |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+          |       count(*) AS n_events
+          |FROM s GROUP BY user_id, sess_no""".stripMargin,
       "validate_verdicts" -> (liCte +
         """, f AS (SELECT doc_id,
           |  CAST(ok%79=0 AND ok%71<>0 AS INT) AS n_fatal,

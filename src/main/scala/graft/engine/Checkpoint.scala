@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.data.DocGen
 
@@ -136,14 +136,3 @@ object Checkpoint {
     TableIO.read(spark, s"$outDir/verdicts")
 }
 
-/** Storage seam: local Parquet in the sandbox; swap these three calls for an
-  * Iceberg catalog (`spark.table` / `writeTo(...).overwritePartitions`) in
-  * production — same engine code above. */
-object TableIO {
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
-  def write(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path)
-  def append(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(path)
-}

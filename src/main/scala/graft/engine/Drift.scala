@@ -59,13 +59,30 @@ object Drift {
     * value-distribution drift above. Categories are the union of rule_ids
     * (full outer join; Laplace smoothing keeps new/vanished rules finite).
     * Input shape: (rule_id, count). */
-  def rulePsi(baseline: DataFrame, current: DataFrame): DataFrame = {
-    val counts = baseline.select(col("rule_id"), col("count").as("ca"))
-      .join(current.select(col("rule_id"), col("count").as("cb")),
-        Seq("rule_id"), "full_outer")
-      .select(col("rule_id"),
-        coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb"))
+  def rulePsi(baseline: DataFrame, current: DataFrame): DataFrame =
+    rulePsiFromCounts(
+      baseline.select(col("rule_id"), col("count").as("ca"))
+        .join(current.select(col("rule_id"), col("count").as("cb")),
+          Seq("rule_id"), "full_outer")
+        .select(col("rule_id"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb")))
+
+  /** One-pass split variant: per-rule violation counts of ONE violations
+    * table (rule_id column) partitioned by `isCurrent` into baseline vs
+    * current — the deterministic, oracle-checkable batch form of rulePsi
+    * (one scan, one <=nrules-key aggregate; categories are all rule_ids
+    * present in either half). */
+  def rulePsiSplit(violations: DataFrame, isCurrent: Column): DataFrame =
+    rulePsiFromCounts(
+      violations
+        .select(col("rule_id"), isCurrent.cast("int").as("cur"))
+        .groupBy("rule_id")
+        .agg(
+          sum(when(col("cur") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("cur") === 1, 1L).otherwise(0L)).as("cb")))
+
+  private def rulePsiFromCounts(counts: DataFrame): DataFrame = {
     val whole = Window.partitionBy(lit(1))
     val n = counts.withColumn("nrules", count(lit(1)).over(whole))
       .withColumn("na", sum("ca").over(whole))

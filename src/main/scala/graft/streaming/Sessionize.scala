@@ -1,7 +1,9 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom stateful streaming: gap-based sessionization of the events stream
@@ -64,5 +66,34 @@ object Sessionize {
             closed.result().iterator
           }
         })
+  }
+
+  /** BATCH gap-sessionization over a bounded events table — identical
+    * session semantics to the streaming path above (a gap > gapMs opens a
+    * new session; ties broken by event_id), including the final
+    * still-open session of every user.
+    *
+    * Scale shape: per-user lag + running boundary count. The window is
+    * per-key LINEAR (one pass per user after the user shuffle) — unlike the
+    * per-key top-k windows this engine replaces with aggregates, a
+    * sessionization window does O(events-of-user) work on O(events-of-user)
+    * rows, so skew is bounded by the largest single user's event count.
+    * Timestamps are compared in microseconds (Timestamp.getTime is
+    * millis-only — same pitfall the streaming state avoids). */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // parquet event times are NTZ; under the UTC session timezone the cast
+    // is exact and unix_micros matches DuckDB's epoch_us
+    val us = unix_micros(col("ts").cast("timestamp"))
+    events
+      .withColumn("prev_us", lag(us, 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || us - col("prev_us") > gapMs * 1000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(us).as("start_us"), max(us).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
   }
 }

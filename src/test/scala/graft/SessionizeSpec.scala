@@ -56,5 +56,18 @@ class SessionizeSpec extends SparkSpec {
     assert(nonFinal.exceptAll(streamed).isEmpty,
       "every gap-closed session must be emitted")
     assert(streamed.count() >= nonFinal.count() && streamed.count() > 0)
+
+    // the library batch operator must equal the same ground truth exactly
+    // (including the final open session of every user), modulo the
+    // micros-epoch output encoding
+    val lib = Sessionize.sessionizeBatch(
+      spark.read.parquet(s"$sf/events.parquet"), gapMs)
+    val truth = batch.select(
+      col("user_id"),
+      unix_micros(col("start_ts").cast("timestamp")).as("start_us"),
+      unix_micros(col("end_ts").cast("timestamp")).as("end_us"),
+      col("n_events"))
+    assert(lib.exceptAll(truth).isEmpty && truth.exceptAll(lib).isEmpty,
+      "sessionizeBatch must equal the gap-session ground truth")
   }
 }

@@ -142,9 +142,19 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       ops.Dedup.simhashPairs(
         ops.Dedup.corpusWithNearDups(graft.data.Tables.read(s, d, "documents")))),
+    // connected components over the exact-jaccard pair graph: the KEEP/DROP
+    // clustering step of the dedup pipeline
+    "dedup_clusters" -> ((s, d) =>
+      ops.Dedup.dupClusters(
+        ops.Dedup.ngramJaccardPairs(
+          ops.Dedup.corpusWithNearDups(graft.data.Tables.read(s, d, "documents"))))),
     // ---- training-data pipeline: similarity search ------------------------
     "sim_topk_bruteforce" -> ((s, d) =>
       ops.Similarity.cosineTopK(graft.data.Tables.read(s, d, "embeddings"))),
+    // scalar-quantized (SQ8) asymmetric search: 8-bit codes at rest, exact
+    // top-k over dequantized scores
+    "sim_sq8_topk" -> ((s, d) =>
+      ops.Similarity.sq8TopK(graft.data.Tables.read(s, d, "embeddings"))),
     "sim_ann_lsh" -> ((s, d) =>
       ops.Similarity.annLshTopK(graft.data.Tables.read(s, d, "embeddings"))),
     "sim_ann_ivf" -> ((s, d) =>
@@ -422,6 +432,22 @@ object SparkEntry {
           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           |WHERE 10 * len(list_intersect(a.sh, b.sh))
           |   >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))""".stripMargin),
+      // oracle: same exact-jaccard pair graph, components via a recursive
+      // transitive-closure CTE (min reachable doc_id per node)
+      "dedup_clusters" -> (nearDupShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+          |      FROM sh a JOIN sh b
+          |        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+          |      WHERE 10 * len(list_intersect(a.sh, b.sh))
+          |         >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+          |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+          |n AS (SELECT DISTINCT a AS doc_id FROM e),
+          |reach(doc_id, r) AS (
+          |  SELECT doc_id, doc_id FROM n
+          |  UNION
+          |  SELECT re.doc_id, e.b FROM reach re JOIN e ON re.r = e.a)
+          |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin),
       // oracle: recompute the FNV-1a-64 token hashes and simhash signatures
       // in HUGEINT arithmetic mod 2^64, then exhaustive all-pairs Hamming
       // <= 7 — exact, because 8x8-bit chunk bucketing is pigeonhole-exact
@@ -514,6 +540,33 @@ object SparkEntry {
       // the persisted-index probe is spec-asserted equal to the one-shot
       // IVF (OpsSpec), so the same independent recomputation oracles it
       "sim_ann_ivf_index" -> ivfOracleSql,
+      // oracle: identical SQ8 train/encode/dequantize/score arithmetic —
+      // exact min/max, (mx-mn)/255 scales, half-up rounding on non-negative
+      // values, sequential-fold dots
+      "sim_sq8_topk" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |c0 AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+          |d AS (SELECT i, min(x) AS mn, max(x) AS mx
+          |      FROM (SELECT unnest(v) AS x,
+          |                   unnest(generate_series(1, len(v))) AS i FROM c0)
+          |      GROUP BY i),
+          |dd AS (SELECT list(mn ORDER BY i) AS mns,
+          |              list((mx - mn) / 255.0 ORDER BY i) AS scs FROM d),
+          |cd AS (SELECT vec_id,
+          |         list_transform(generate_series(1, len(v)), i ->
+          |           dd.mns[i] + (CASE WHEN dd.scs[i] = 0 THEN 0
+          |             ELSE least(255, greatest(0, CAST(round((v[i] - dd.mns[i]) / dd.scs[i]) AS INT))) END)
+          |             * dd.scs[i]) AS dv
+          |       FROM c0, dd),
+          |cn AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS n FROM cd),
+          |q AS (SELECT vec_id AS q_vec_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+          |      FROM e WHERE vec_id < 8),
+          |s AS (SELECT q_vec_id, vec_id AS n_vec_id,
+          |             list_dot_product(qv, dv) / (qn * n) AS score FROM q CROSS JOIN cn),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+          |                ORDER BY score DESC, n_vec_id) AS rank FROM s)
+          |SELECT q_vec_id, CAST(rank AS INT) AS rank, n_vec_id, round(score, 6) AS score_r
+          |FROM r WHERE rank <= 5""".stripMargin,
       "sim_topk_bruteforce" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |q AS (SELECT vec_id AS q_vec_id, v AS qv, sqrt(list_dot_product(v,v)) AS qn

@@ -251,4 +251,51 @@ object Dedup {
         col("p.hamming").as("hamming"))
       .distinct()
   }
+
+  /** Connected components over a near-dup pair list → (doc_id, cluster_id)
+    * with cluster_id = the minimum doc_id reachable through pairs — the
+    * KEEP/DROP decision step of a dedup pipeline (keep each cluster's
+    * cluster_id doc, drop the rest).
+    *
+    * Algorithm: iterated min-label propagation — every node adopts the
+    * minimum label among itself and its neighbors; one round is one
+    * edge⋈label equi-join plus one groupBy-min (map-side combinable), and
+    * convergence takes O(component diameter) rounds. Each round's result is
+    * persisted and the previous unpersisted, so the plan stays one round
+    * deep (no exponential lineage). Near-dup graphs are star-like (tiny
+    * diameter); a pathological chain exceeds maxIter and FAILS FAST rather
+    * than returning half-merged clusters. At 10^12-edge scale the same two
+    * join shapes run the large-star/small-star alternation (provably
+    * O(log n) rounds); propagation is the diameter-bounded special case.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
+    val fwd = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .persist()
+    var iter = 0
+    var done = false
+    while (!done) {
+      val viaNeighbors = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.unionAll(viaNeighbors)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .where(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+      if (changed == 0) done = true
+      else if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"dupClusters did not converge in $maxIter rounds " +
+            "(component diameter exceeds the bound — use star-contraction)")
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
 }

@@ -242,6 +242,50 @@ object Similarity {
     rerank(index, q, k)
   }
 
+  /** Scalar-quantized (SQ8) similarity search — the memory-compressed index
+    * path: per-dimension (min, max) trained in ONE corpus pass (result is
+    * O(dim), driver-safe at any corpus size), candidates encoded to 8-bit
+    * codes (8x memory/IO reduction for a 10^12-vector index at rest;
+    * persisted as the index in production — encoded inline here), queries
+    * kept full-precision and scored with ASYMMETRIC distance against the
+    * dequantized codes; exact top-k via the mergeable heap aggregate.
+    * Fully deterministic (exact min/max, half-up rounding, sequential-fold
+    * dot) → exact DuckDB oracle. */
+  def sq8TopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cands = base.where(col("vec_id") >= nQueries)
+    // train: per-dimension min/max (posexplode -> 1 agg with map-side
+    // combine; output is dim rows regardless of corpus size)
+    val stats = cands.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    val mns = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val scales = typedLit(stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq)
+    // encode to codes 0..255 (constant dims -> 0), then dequantize for the
+    // asymmetric scoring pass
+    val codes = transform(col("v"), (x, i) =>
+      when(element_at(scales, i + 1) === 0.0, lit(0))
+        .otherwise(least(lit(255), greatest(lit(0),
+          round((x - element_at(mns, i + 1)) / element_at(scales, i + 1))
+            .cast("int")))))
+    val deq = transform(col("c"), (cj, i) =>
+      element_at(mns, i + 1) + cj.cast("double") * element_at(scales, i + 1))
+    val cd = cands.select(col("vec_id"), codes.as("c"))
+      .select(col("vec_id"), deq.as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val q = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
+        sqrt(dot(col("v"), col("v"))).as("qn"))
+    cd.crossJoin(broadcast(q))
+      .select(col("q_vec_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("score"))
+      .groupBy(col("q_vec_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("vec_id")).as("top"))
+      .select(col("q_vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_vec_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("n_vec_id"), round(col("t.score"), 6).as("score_r"))
+  }
+
   /** Declarative random-hyperplane signature (shape reference for the
     * compiled functions.LshBuckets): bit j = sign of <v, h_j> where h_j has
     * deterministic +-1 components derived from xxhash64(seedOffset+j,

@@ -9,6 +9,33 @@ class OpsSpec extends SparkSpec {
   private lazy val documents = spark.read.parquet(s"$sf/documents.parquet").cache()
   private lazy val embeddings = spark.read.parquet(s"$sf/embeddings.parquet").cache()
 
+  test("similarity: SQ8 asymmetric search nearly matches full-precision top-k") {
+    val exact = Similarity.cosineTopK(embeddings)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.sq8TopK(embeddings)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & sq8).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 top-k recall vs full precision: $recall")
+  }
+
+  test("dedup clusters: min-label connected components over a pair graph") {
+    // two multi-node components + one 2-node component, listed in mixed order
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (21L, 20L), (22L, 21L), (22L, 23L))
+      .toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L), (23L, 20L)))
+
+    // a diameter beyond the round bound fails fast instead of returning
+    // half-merged clusters
+    val chain = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_id_a", "doc_id_b")
+    intercept[IllegalStateException](Dedup.dupClusters(chain, maxIter = 3))
+  }
+
   test("dedup exact: finds exactly the injected copies") {
     val dups = Dedup.exactDuplicates(Dedup.corpusWithExactDups(documents))
     val expected = documents.where(col("doc_id") % 50 === 0).count()

@@ -269,11 +269,20 @@ object Dedup {
     * O(log n) rounds); propagation is the diameter-bounded special case.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
-    val fwd = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // both edge directions from ONE pass over the (possibly expensive) pair
+    // pipeline — a unionAll of two selects would execute it twice
+    val edges = pairs.select(explode(array(
+        struct(col("doc_id_a").as("src"), col("doc_id_b").as("dst")),
+        struct(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
+    // init = round 1 fused: label(v) = min(v, direct neighbors) in one
+    // groupBy (edges are bidirectional, so every node appears as src) —
+    // star-shaped dup components converge here and pay only the confirm
+    // round in the loop
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
       .persist()
     var iter = 0
     var done = false

@@ -98,6 +98,23 @@ class OpsSpec extends SparkSpec {
     assert(n <= 2, s"shingles must be computed once per row, found $n sites")
   }
 
+  test("verify stages reference the candidate subplan exactly once") {
+    // Spark does not materialize shared DataFrame subplans: every extra
+    // reference to the candidate-pair pipeline re-executes the WHOLE
+    // banding/bucketing subtree (the round-2 shape had three — the
+    // dedup_minhash_lsh driver-bench regression). The expensive signature
+    // expression must therefore appear exactly once in the optimized plan.
+    val mh = Dedup.minhashLshPairs(Dedup.corpusWithNearDups(documents))
+      .queryExecution.optimizedPlan.toString
+    assert("minhash_bands".r.findAllIn(mh).size === 1,
+      "minhash banding subtree must be planned exactly once")
+    val ec = Similarity.cosineNearDupPairs(
+      Similarity.corpusWithNearDupVecs(embeddings))
+      .queryExecution.optimizedPlan.toString
+    assert("lsh_buckets".r.findAllIn(ec).size === 1,
+      "LSH bucketing subtree must be planned exactly once")
+  }
+
   test("dedup/similarity verify joins never hint a corpus-side broadcast") {
     // The verify stage must not force-broadcast any per-doc table (driver
     // OOM at 10^12 docs): the optimized plan carries NO join hints at all —

@@ -36,7 +36,7 @@ object Bench {
     // min over reps: single-shot timings are dominated by per-plan codegen
     // compilation + JIT warmup (~0.3-0.5 s/query) and shared-host noise —
     // min-of-2 measures the engine, not the compiler
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -50,8 +50,12 @@ object Bench {
     force("validate_verdicts")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val sec = try (1 to reps).map(_ => force(name)).min
-                catch { case _: Throwable => -1.0 }
+      // per-rep try: a transient rep-2 failure must not discard a valid
+      // rep-1 timing; -1.0 only when every rep failed
+      val times = (1 to reps).flatMap { _ =>
+        try Some(force(name)) catch { case _: Throwable => None }
+      }
+      val sec = if (times.isEmpty) -1.0 else times.min
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
       name -> sec
     }

@@ -185,6 +185,10 @@ object SparkEntry {
       ops.TextAnalysis.fingerprint(graft.data.Tables.read(s, d, "documents"))),
     "text_tokens_bpe" -> ((s, d) =>
       ops.TextAnalysis.bpeTokens(graft.data.Tables.read(s, d, "documents"))),
+    // end-to-end curation pass: dedup + quality + language composed into
+    // per-doc keep/drop decisions
+    "curation_decisions" -> ((s, d) =>
+      ops.Curation.decisions(graft.data.Tables.read(s, d, "documents"))),
     // ---- training-data pipeline: multimodal plumbing ----------------------
     "multimodal_summary" -> ((s, d) =>
       ops.Multimodal.mediaSummary(graft.data.Tables.read(s, d, "documents"))),
@@ -623,6 +627,40 @@ object SparkEntry {
            |  CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '$pat'),
            |         t -> length(t))), 0) AS INT) AS bpe_chars
            |FROM documents""".stripMargin
+      },
+      // oracle: the same dedup-keeper + quality-gate + langid-argmax
+      // composition recomputed from first principles
+      "curation_decisions" -> {
+        val scores = graft.ops.TextAnalysis.stopwords.map { case (l, ws) =>
+          val set = ws.map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(t, w -> w IN ($set))) AS INT) AS s_$l"
+        }.mkString(",\n  ")
+        val langs = graft.ops.TextAnalysis.stopwords.map(_._1)
+        val cases = langs.init.map { l =>
+          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n  ")
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id%50=0),
+           |tok AS (SELECT doc_id,
+           |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS t FROM corpus),
+           |q AS (SELECT doc_id,
+           |  CASE WHEN len(t) BETWEEN 5 AND 10000
+           |        AND CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)/len(t) < 20.0
+           |       THEN 1 ELSE 0 END AS quality_ok,
+           |  $scores
+           |FROM tok),
+           |k AS (SELECT doc_id,
+           |        doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS dup_keep
+           |      FROM corpus)
+           |SELECT q.doc_id,
+           |  CASE $cases ELSE '${langs.last}' END AS pred_lang,
+           |  quality_ok, dup_keep,
+           |  CASE WHEN NOT dup_keep THEN 'drop_dup'
+           |       WHEN quality_ok = 0 THEN 'drop_quality'
+           |       ELSE 'keep' END AS decision
+           |FROM q JOIN k ON q.doc_id = k.doc_id""".stripMargin
       },
       "text_fingerprint" ->
         """WITH tok AS (SELECT doc_id,

@@ -168,6 +168,13 @@ object Dedup {
     // the corpus side), shingle the matched rows, and regroup per pair with
     // a candidate-sized shuffle. first(ignoreNulls) is deterministic:
     // exactly one non-null per side per pair.
+    // A doc in P pairs is shingled P times here (vs once in a
+    // per-distinct-member shape) — deliberate: the unavoidable per-pair
+    // intersect already costs O(doc length) per pair, so the per-membership
+    // shingle is a <=2x constant on the verify stage, NOT a complexity
+    // change, and it keeps `candidates` single-reference without pinning a
+    // cached table (the per-distinct shape needs either a second reference
+    // or a persist).
     val m = candidates.select(
       col("doc_id_a"), col("doc_id_b"),
       explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
@@ -286,25 +293,32 @@ object Dedup {
       .persist()
     var iter = 0
     var done = false
-    while (!done) {
-      val viaNeighbors = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
-        .select(col("src").as("doc_id"), col("label"))
-      val next = labels.unionAll(viaNeighbors)
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .where(col("label") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
-      if (changed == 0) done = true
-      else if (iter >= maxIter)
-        throw new IllegalStateException(
-          s"dupClusters did not converge in $maxIter rounds " +
-            "(component diameter exceeds the bound — use star-contraction)")
-    }
-    edges.unpersist()
+    // every intermediate cache is released on BOTH exit paths; the returned
+    // table stays persisted (it is participant-scale, bounded by the pair
+    // caps, and consumers read it lazily) — callers may unpersist it after
+    // consumption, and Spark's ContextCleaner reclaims it once unreferenced
+    try {
+      while (!done) {
+        val viaNeighbors = edges
+          .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+          .select(col("src").as("doc_id"), col("label"))
+        val next = labels.unionAll(viaNeighbors)
+          .groupBy("doc_id").agg(min("label").as("label"))
+          .persist()
+        val changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+          .where(col("label") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+        if (changed == 0) done = true
+        else if (iter >= maxIter) {
+          labels.unpersist()
+          throw new IllegalStateException(
+            s"dupClusters did not converge in $maxIter rounds " +
+              "(component diameter exceeds the bound — use star-contraction)")
+        }
+      }
+    } finally edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 }

@@ -91,6 +91,9 @@ object Similarity {
     // the whole LSH pipeline — shared subplans are not materialized), the
     // corpus never broadcast-hinted, and the norm dot-product computed
     // ABOVE the join so it runs on matched (candidate-sized) rows only.
+    // A vector in P pairs recomputes its norm P times — a <=2x constant on
+    // the unavoidable per-pair dot product (both O(dim)), accepted to keep
+    // candidates single-reference without a pinned cache.
     val m = candidates.select(
       col("vec_id_a"), col("vec_id_b"),
       explode(array(col("vec_id_a"), col("vec_id_b"))).as("vec_id"))

@@ -185,6 +185,11 @@ object SparkEntry {
       ops.TextAnalysis.fingerprint(graft.data.Tables.read(s, d, "documents"))),
     "text_tokens_bpe" -> ((s, d) =>
       ops.TextAnalysis.bpeTokens(graft.data.Tables.read(s, d, "documents"))),
+    // corpus-wide heavy hitters (top-k frequent tokens), deterministic
+    // tie-break; planned as TakeOrderedAndProject (bounded per-partition
+    // heaps, no full sort)
+    "text_top_tokens" -> ((s, d) =>
+      ops.TextAnalysis.topTokens(graft.data.Tables.read(s, d, "documents"))),
     // end-to-end curation pass: dedup + quality + language composed into
     // per-doc keep/drop decisions
     "curation_decisions" -> ((s, d) =>
@@ -628,6 +633,12 @@ object SparkEntry {
            |         t -> length(t))), 0) AS INT) AS bpe_chars
            |FROM documents""".stripMargin
       },
+      "text_top_tokens" ->
+        """SELECT token, count(*) AS cnt
+          |FROM (SELECT unnest(list_filter(string_split(text, ' '),
+          |                                w -> len(w) > 0)) AS token
+          |      FROM documents)
+          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
       // oracle: the same dedup-keeper + quality-gate + langid-argmax
       // composition recomputed from first principles
       "curation_decisions" -> {

@@ -79,6 +79,24 @@ object TextAnalysis {
       aggregate(pre, lit(0), (acc, t) => acc + length(t)).as("bpe_chars"))
   }
 
+  /** Corpus-wide heavy hitters: the k most frequent tokens with a
+    * deterministic tie-break (count DESC, token ASC) — vocabulary /
+    * boilerplate analysis over a training corpus.
+    *
+    * Scale shape: explode_outer (plain explode triggers
+    * InferFiltersFromGenerate — the tokenizer would run twice per row) →
+    * one hash aggregation with map-side combine (each task emits its
+    * distinct tokens once) → orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject: a per-partition bounded top-k heap merged on
+    * the driver — k rows cross the wire per partition, never a full sort. */
+  def topTokens(documents: DataFrame, k: Int = 50): DataFrame =
+    documents
+      .select(explode_outer(tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
   /** Document fingerprints, mod 1000003, from a portable per-word hash
     * (31*len + 7*first-char + last-char codepoints — identical arithmetic
     * is expressible in ANSI SQL for the oracle):

@@ -9,6 +9,16 @@ class OpsSpec extends SparkSpec {
   private lazy val documents = spark.read.parquet(s"$sf/documents.parquet").cache()
   private lazy val embeddings = spark.read.parquet(s"$sf/embeddings.parquet").cache()
 
+  test("text: top-tokens plans as TakeOrderedAndProject and orders deterministically") {
+    val df = TextAnalysis.topTokens(documents, k = 50)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "orderBy+limit must plan bounded per-partition heaps, not a full sort")
+    val top = df.collect()
+    // sf0.001's synthetic vocabulary is smaller than k — take what exists
+    assert(top.nonEmpty && top.length <= 50)
+    assert(top.head.getLong(1) >= top.last.getLong(1))
+  }
+
   test("similarity: SQ8 asymmetric search nearly matches full-precision top-k") {
     val exact = Similarity.cosineTopK(embeddings)
       .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet

@@ -142,6 +142,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       ops.Dedup.simhashPairs(
         ops.Dedup.corpusWithNearDups(graft.data.Tables.read(s, d, "documents")))),
+    // Manku block-combination tables: 16-bit keys (keyBlocks=2) — the
+    // web-scale key-width shape, exact for Hamming <= 6
+    "dedup_simhash_wide" -> ((s, d) =>
+      ops.Dedup.simhashPairs(
+        ops.Dedup.corpusWithNearDups(graft.data.Tables.read(s, d, "documents")),
+        maxHamming = 6, keyBlocks = 2)),
     // connected components over the exact-jaccard pair graph: the KEEP/DROP
     // clustering step of the dedup pipeline
     "dedup_clusters" -> ((s, d) =>
@@ -172,10 +178,15 @@ object SparkEntry {
       ops.Similarity.ivfBuildIndex(emb, path)
       ops.Similarity.ivfProbeIndex(s, path, emb)
     }),
+    // (5, 12) pinned: sandbox-validated exactness-gate parameters (the
+    // oracle is exhaustive all-pairs, so a single candidate miss fails the
+    // hash gate). Production callers omit them -> Similarity.lshParams
+    // derives corpus-sized tables (~1000 members/bucket at any scale).
     "dedup_embedding_cosine" -> ((s, d) =>
       ops.Similarity.cosineNearDupPairs(
         ops.Similarity.corpusWithNearDupVecs(
-          graft.data.Tables.read(s, d, "embeddings")))),
+          graft.data.Tables.read(s, d, "embeddings")),
+        nBits = 5, nTables = 12)),
     // ---- training-data pipeline: text analysis ----------------------------
     "text_langid" -> ((s, d) =>
       ops.TextAnalysis.langId(graft.data.Tables.read(s, d, "documents"))),
@@ -198,7 +209,23 @@ object SparkEntry {
     "multimodal_summary" -> ((s, d) =>
       ops.Multimodal.mediaSummary(graft.data.Tables.read(s, d, "documents"))),
     "multimodal_frames" -> ((s, d) =>
-      ops.Multimodal.frameSample(graft.data.Tables.read(s, d, "documents")))
+      ops.Multimodal.frameSample(graft.data.Tables.read(s, d, "documents"))),
+    // ---- training-data pipeline: deterministic sampling / curation --------
+    // md5-derived split assignment: pure row-local map, no RNG state
+    "sample_split" -> ((s, d) =>
+      ops.Sampling.hashSplit(graft.data.Tables.read(s, d, "documents"))),
+    // fixed-size uniform sample per language via the mergeable heap
+    // aggregate (no per-stratum window shuffle)
+    "sample_quota" -> ((s, d) =>
+      ops.Sampling.quotaPerStratum(
+        graft.data.Tables.read(s, d, "documents"), col("lang"))),
+    // intra-doc repetition removal: first-occurrence token filter, row-local
+    "text_repetition" -> ((s, d) =>
+      ops.Sampling.repetition(graft.data.Tables.read(s, d, "documents"))),
+    // contiguous sequence packing via distributed prefix sum (no global
+    // single-task window)
+    "pack_sequences" -> ((s, d) =>
+      ops.Sampling.packContiguous(graft.data.Tables.read(s, d, "documents")))
   )
 
   /** DuckDB oracles. Expected violations are recomputed from the injection
@@ -231,6 +258,39 @@ object SparkEntry {
           |UNION ALL SELECT doc_id, 'R_CLASSIFIED', 'error', 'spans', 'doc must carry a header text span or a media span' FROM li WHERE ok%71=0 OR ((ok%89=0 OR ok%43=0) AND ok%59<>0 AND ok%83=0 AND ok%47<>0)
           |UNION ALL SELECT doc_id, 'R_HEADER_OFFSET_EQ', 'error', 'spans/offset', 'first span must start at the expected offset 0' FROM li WHERE ok%43=0 AND ok%71<>0
           |UNION ALL SELECT doc_id, 'R_REF_VERSION', 'error', 'spans/media_ref', 'media_ref must resolve in its version''s catalog (fallback latest)' FROM li WHERE ok%71<>0 AND (ok%79=0 OR (ok%41=0 AND (pk%1000)%2=1))""".stripMargin)
+
+  /** Exhaustive all-pairs simhash oracle at a given Hamming threshold:
+    * FNV-1a-64 token hashes and simhash signatures recomputed in HUGEINT
+    * arithmetic mod 2^64. Independent of the bucketing scheme — valid for
+    * any (keyBlocks, maxHamming) inside the pigeonhole-exactness bound.
+    * ascii() == UTF-8 byte for the ASCII-only corpus. */
+  private def simhashOracle(maxHamming: Int): String = {
+    val pow2 = (0 until 64).map(j => BigInt(1) << j).mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text || ' near dup copy tail'
+       |  FROM documents WHERE doc_id%50=0),
+       |tok AS (SELECT doc_id,
+       |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
+       |        FROM corpus),
+       |th AS (SELECT doc_id, list_transform(t, w ->
+       |  list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(generate_series(1, length(w)),
+       |        i -> CAST(ascii(substr(w, i, 1)) AS HUGEINT))),
+       |    (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+       |               * 1099511628211) % 18446744073709551616)) AS hs
+       |  FROM tok WHERE len(t) > 0),
+       |sim AS (SELECT doc_id,
+       |  CAST(list_sum(list_transform(CAST(list_value($pow2) AS HUGEINT[]), p ->
+       |    CASE WHEN 2 * len(list_filter(hs, h -> (h // p) % 2 = 1)) > len(hs)
+       |         THEN p ELSE CAST(0 AS HUGEINT) END)) AS UBIGINT) AS s
+       |  FROM th)
+       |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= $maxHamming""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     Map(
@@ -461,33 +521,12 @@ object SparkEntry {
       // in HUGEINT arithmetic mod 2^64, then exhaustive all-pairs Hamming
       // <= 7 — exact, because 8x8-bit chunk bucketing is pigeonhole-exact
       // at this threshold. ascii() == UTF-8 byte for the ASCII-only corpus.
-      "dedup_simhash" -> {
-        val pow2 = (0 until 64).map(j => BigInt(1) << j).mkString(", ")
-        s"""WITH corpus AS (
-           |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 1000000, text || ' near dup copy tail'
-           |  FROM documents WHERE doc_id%50=0),
-           |tok AS (SELECT doc_id,
-           |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
-           |        FROM corpus),
-           |th AS (SELECT doc_id, list_transform(t, w ->
-           |  list_reduce(
-           |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
-           |      list_transform(generate_series(1, length(w)),
-           |        i -> CAST(ascii(substr(w, i, 1)) AS HUGEINT))),
-           |    (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
-           |               * 1099511628211) % 18446744073709551616)) AS hs
-           |  FROM tok WHERE len(t) > 0),
-           |sim AS (SELECT doc_id,
-           |  CAST(list_sum(list_transform(CAST(list_value($pow2) AS HUGEINT[]), p ->
-           |    CASE WHEN 2 * len(list_filter(hs, h -> (h // p) % 2 = 1)) > len(hs)
-           |         THEN p ELSE CAST(0 AS HUGEINT) END)) AS UBIGINT) AS s
-           |  FROM th)
-           |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           |       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
-           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.s, b.s)) <= 7""".stripMargin
-      },
+      "dedup_simhash" -> simhashOracle(7),
+      // Manku block-combination tables (keyBlocks=2: 28 tables, 16-bit
+      // keys) are pigeonhole-exact for Hamming <= 6, so the same exhaustive
+      // all-pairs oracle applies at the tighter threshold — the oracle is
+      // bucketing-scheme independent.
+      "dedup_simhash_wide" -> simhashOracle(6),
       // oracle: exhaustive all-pairs cosine on the same injected corpus
       // (candidate-generation misses are ~1e-6 at this similarity level
       // and verified empirically at sf0.01)
@@ -700,9 +739,71 @@ object SparkEntry {
           |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
           |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
           |  CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
-          |FROM documents""".stripMargin
+          |FROM documents""".stripMargin,
+      // oracle: the md5 split hash recomputed from first principles — hex
+      // digits folded to an integer (both engines emit the identical md5
+      // lowercase hex digest, which is the point of an md5-based split:
+      // the assignment is portable truth, not an engine detail)
+      "sample_split" -> (md5HashCte +
+        """
+          |SELECT doc_id, hv % 10000 AS bucket,
+          |  CASE WHEN hv % 10000 < 9000 THEN 'train'
+          |       WHEN hv % 10000 < 9500 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM h""".stripMargin),
+      // oracle: per-language row_number over (hash, doc_id) — the window
+      // formulation the Spark side deliberately avoids (heap aggregate);
+      // outputs are bit-identical by the TopKAgg ordering guarantee
+      "sample_quota" -> (md5HashCte +
+        """
+          |SELECT lang AS stratum, CAST(rk AS INT) AS rank, doc_id
+          |FROM (SELECT lang, doc_id,
+          |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+          |      FROM h)
+          |WHERE rk <= 10""".stripMargin),
+      // oracle: first-occurrence token filter via list_position — the same
+      // portable-SQL semantics the Spark side uses (array_position == idx)
+      "text_repetition" ->
+        """WITH tok AS (SELECT doc_id,
+          |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
+          |        FROM documents),
+          |k AS (SELECT doc_id, t,
+          |        list_filter(t, (w, i) -> list_position(t, w) = i) AS kept
+          |      FROM tok WHERE len(t) > 0)
+          |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+          |  CAST(len(kept) AS INT) AS n_distinct,
+          |  round(CAST(len(t) - len(kept) AS DOUBLE) / len(t), 6) AS dup_ratio,
+          |  array_to_string(kept, ' ') AS text_dedup
+          |FROM k""".stripMargin,
+      // oracle: the single-node formulation of the same prefix sum — one
+      // global window cumsum (exactly what the Spark side must NOT plan at
+      // scale; outputs are identical because the distributed prefix sum
+      // depends only on global doc order)
+      "pack_sequences" ->
+        """WITH t AS (SELECT doc_id,
+          |        CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+          |          AS BIGINT) AS n
+          |        FROM documents),
+          |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |      FROM t)
+          |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+          |  CAST((cum - n) // 512 AS BIGINT) AS bin,
+          |  CAST((cum - n) % 512 AS INT) AS bin_offset
+          |FROM c""".stripMargin
     )
   }
+
+  /** DuckDB twin of Sampling.hashValue (salt "graft"): md5 hex digits
+    * folded to a 32-bit integer. */
+  private val md5HashCte: String =
+    """WITH h AS (SELECT doc_id, lang,
+      |  list_reduce(list_transform(generate_series(1, 8),
+      |    i -> CAST(strpos('0123456789abcdef',
+      |           substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), i, 1)) - 1
+      |         AS BIGINT)),
+      |    (a, b) -> a * 16 + b) AS hv
+      |  FROM documents)""".stripMargin
 
   private val ivfOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -212,37 +212,68 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.SimHash64(tokens(col("text"))).as("sim"))
 
-  /** Scale shape: a raw self-join on (chunk, cv) has a key space of only
-    * 8 x 256 values — at 10^9+ docs every bucket holds ~n/256 rows and the
-    * join goes quadratic. Instead each (chunk, cv) bucket is grouped and
-    * pairs materialize row-locally with the deterministic `sortedPairs`
-    * hot-bucket cap: beyond-cap members of one chunk's bucket are still
-    * found through any of their other 7 chunks (a pair is missed only if
-    * BOTH docs fall beyond the cap in ALL 8 chunk buckets). The `sim`
-    * value rides along inside the bucket list, so the Hamming verify needs
-    * no join at all. Sandbox buckets are far below the cap, keeping the
-    * OpsSpec all-pairs equality exact. */
-  def simhashPairs(corpus: DataFrame, maxHamming: Int = 7): DataFrame = {
+  /** Scale shape (Manku-style block-combination tables, "Detecting
+    * Near-Duplicates for Web Crawling", WWW'07 §3): the 64-bit fingerprint
+    * is split into 8 fixed 8-bit blocks; each table keys on the
+    * concatenation of a distinct `keyBlocks`-subset of those blocks, and a
+    * pair differing in <= maxHamming bits touches at most maxHamming
+    * blocks, so it shares ALL blocks of at least one table's key whenever
+    * maxHamming <= 8 - keyBlocks (pigeonhole) — the result is then EXACT
+    * (identical to all-pairs Hamming) while the join stays keyed, never
+    * O(docs^2). `keyBlocks` trades table count against key width, i.e.
+    * candidate-generation fan-out against bucket density:
+    *
+    *   keyBlocks  tables C(8,q)  key width  exact for  density at 10^12 docs
+    *       1            8           8 bit    k <= 7     ~n/2^8  = 4e9/bucket
+    *       2           28          16 bit    k <= 6     ~n/2^16 = 15M/bucket
+    *       3           56          24 bit    k <= 5     ~n/2^24 = 60k/bucket
+    *       4           70          32 bit    k <= 4     ~n/2^32 = 233/bucket
+    *
+    * At web scale run keyBlocks=4: 70 explode rows per doc but buckets of
+    * ~hundreds, so the grouped pair expansion below is row-local cheap and
+    * the membership cap never triggers. The sandbox default (keyBlocks=1)
+    * keeps the widest Hamming radius; there buckets hold ~n/256 members,
+    * which is exactly why the membership BUFFER is size-bounded below.
+    *
+    * Each bucket is grouped and pairs materialize row-locally with the
+    * deterministic hot-bucket cap: beyond-cap members of one bucket are
+    * still found through any of their other C(8,q)-1 tables (a pair is
+    * missed only if BOTH docs fall beyond the cap in ALL tables). The
+    * `sim` value rides along inside the bucket list, so the Hamming verify
+    * needs no join at all. Sandbox buckets are far below the cap, keeping
+    * the OpsSpec all-pairs equality exact. */
+  def simhashPairs(corpus: DataFrame, maxHamming: Int = 7,
+                   keyBlocks: Int = 1): DataFrame = {
+    require(keyBlocks >= 1 && keyBlocks <= 8, "keyBlocks in [1,8]")
+    require(maxHamming <= 8 - keyBlocks,
+      s"exactness needs maxHamming <= ${8 - keyBlocks} at keyBlocks=$keyBlocks " +
+        "(a pair with k differing bits shares a clean key only if k blocks " +
+        "hit leaves >= keyBlocks blocks identical)")
     val sims = simhashes(corpus)
-    val chunkStructs = (0 until 8).map(ci =>
-      struct(lit(ci).as("chunk"),
-        shiftrightunsigned(col("sim"), ci * 8).bitwiseAND(lit(0xFFL)).as("cv")))
+    def block(bi: Int): Column =
+      shiftrightunsigned(col("sim"), bi * 8).bitwiseAND(lit(0xFFL))
+    val tableStructs = (0 until 8).combinations(keyBlocks).toSeq.zipWithIndex
+      .map { case (blocks, ti) =>
+        val key = blocks.zipWithIndex
+          .map { case (bi, pos) => shiftleft(block(bi), pos * 8) }
+          .reduce[Column](_ bitwiseOR _)
+        struct(lit(ti).as("table"), key.as("key"))
+      }
     val chunked = sims.select(
       col("doc_id"), col("sim"),
-      explode_outer(array(chunkStructs: _*)).as("ch"))
+      explode_outer(array(tableStructs: _*)).as("ch"))
       .where(col("ch").isNotNull)
-      .select(col("doc_id"), col("sim"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+      .select(col("doc_id"), col("sim"), col("ch.table").as("table"), col("ch.key").as("key"))
     chunked
-      .groupBy(col("chunk"), col("cv"))
-      // size-bounded collect: simhash's 8x256-value chunk-key space makes
+      .groupBy(col("table"), col("key"))
+      // size-bounded collect: at keyBlocks=1 the 8x256-value key space makes
       // EVERY bucket hold ~n/256 members at 10^9+ docs, so the membership
       // buffer itself (not just the pair expansion) must be capped — at
       // 10000, matching HammingPairs' deterministic first-10000-by-doc_id
-      // truncation, so results are unchanged. Beyond the cap the Hamming<=7
-      // exactness guarantee degrades gracefully (a pair is missed only if
-      // both docs fall beyond the cap in all 8 chunks); at that scale the
-      // right fix is wider chunks or Manku-style sorted-rotation tables,
-      // which trade key-space width against table count.
+      // truncation, so results are unchanged. Beyond the cap the exactness
+      // guarantee degrades gracefully (a pair is missed only if both docs
+      // fall beyond the cap in all tables); at web scale raise keyBlocks
+      // instead (see table above) so density stays far below the cap.
       .agg(graft.functions.BoundedCollect.docSim(10000)(col("doc_id"), col("sim"))
         .as("members"))
       .where(size(col("members")) > 1)

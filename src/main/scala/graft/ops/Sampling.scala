@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting operators for training-data curation.
+  *
+  * Everything here is a pure function of (doc_id, salt): reproducible
+  * across runs, engines and cluster sizes, with no RNG state or sampling
+  * seed to ship to executors — the property a 10^12-doc pipeline needs so
+  * a re-run (or a resumed partition) assigns every document to the same
+  * split/sample. Reference analog: the validation service's deterministic
+  * per-record routing (every record keyed by its id, never by arrival
+  * order); same idea applied to corpus curation.
+  */
+object Sampling {
+
+  /** 32-bit deterministic hash of (doc_id, salt): the first 8 hex chars of
+    * md5, as a long in [0, 2^32). md5 (not xxhash64) because every SQL
+    * engine computes the identical digest — the split assignment is
+    * portable, auditable truth, not an engine implementation detail. */
+  def hashValue(docId: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", docId.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Basis-point bucket in [0, 10000) derived from [[hashValue]]. */
+  def hashBucket(docId: Column, salt: String): Column =
+    hashValue(docId, salt) % 10000
+
+  /** Deterministic train/val/test split: bucket < trainBp -> train,
+    * < trainBp+valBp -> val, else test. Row-local projection — no shuffle,
+    * no sampling seed; scales as a pure map over the corpus scan. */
+  def hashSplit(corpus: DataFrame, salt: String = "graft",
+                trainBp: Int = 9000, valBp: Int = 500): DataFrame = {
+    require(trainBp >= 0 && valBp >= 0 && trainBp + valBp <= 10000,
+      "split weights are basis points summing to <= 10000")
+    val b = hashBucket(col("doc_id"), salt)
+    corpus.select(
+      col("doc_id"),
+      b.as("bucket"),
+      when(b < trainBp, "train")
+        .when(b < trainBp + valBp, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Per-stratum quota sample: the n docs with the SMALLEST deterministic
+    * hash per stratum — a uniform-without-replacement sample of fixed size
+    * per group (per-language quotas, per-source caps).
+    *
+    * Selection is the mergeable heap aggregate (functions.TopKAgg with
+    * negated score), NOT `row_number().over(partitionBy(stratum))`: the
+    * window would shuffle the ENTIRE corpus to one reducer per stratum
+    * (a handful of languages = a handful of tasks holding 10^12 rows),
+    * while the aggregate combines map-side and ships at most n rows per
+    * (input partition, stratum). Ties (identical 32-bit hash) break on
+    * doc_id ascending — bit-identical to ORDER BY (hash, doc_id). */
+  def quotaPerStratum(corpus: DataFrame, stratum: Column, n: Int = 10,
+                      salt: String = "graft"): DataFrame = {
+    require(n > 0)
+    // TopKAgg keeps the LARGEST scores; negate the hash to keep smallest.
+    // A 32-bit value negated is exactly representable as a double.
+    val score = -hashValue(col("doc_id"), salt).cast("double")
+    corpus
+      .groupBy(stratum.as("stratum"))
+      .agg(graft.functions.TopKAgg.topK(n)(score, col("doc_id")).as("top"))
+      .select(col("stratum"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("stratum"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("doc_id"))
+  }
+
+  /** Contiguous sequence packing (training-batch assembly): lay the corpus
+    * out in doc_id order as one token stream and cut it into fixed
+    * `capacity`-token bins; each doc gets (bin, bin_offset) of its first
+    * token (a doc may straddle a bin boundary — standard contiguous
+    * packing, the doc continues into the next bin).
+    *
+    * The global running token count is a DISTRIBUTED PREFIX SUM, not a
+    * global window (`sum().over(orderBy(doc_id))` with no partition ships
+    * the whole corpus to ONE task):
+    *   1. block id = doc_id DIV blockSpan — a PURE FUNCTION of the key
+    *     (deliberately not repartitionByRange + spark_partition_id: range
+    *     boundaries come from sampling and a partition id is an execution
+    *     artifact, and because Spark re-executes shared subplans, the two
+    *     branches below would each re-derive them — a pure key function
+    *     cannot disagree between branches);
+    *   2. per-block running sum — a window partitioned by block, so each
+    *     task sums only its own block (bounded by blockSpan);
+    *   3. per-block totals (one row per block, map-side combined)
+    *     prefix-summed on a driver-scale table and broadcast back.
+    * Deterministic by construction — every value is a function of the data
+    * alone; spec-asserted invariant across blockSpan choices. The corpus is
+    * tokenized twice (totals pass + emit pass) — inherent to a two-phase
+    * prefix sum without a pinned cache; at production scale persist the
+    * (doc_id, n_tokens, blk) projection to trade memory for the re-scan.
+    * At 10^12 docs pick blockSpan so blocks hold ~10^6-10^7 docs: the
+    * offsets table stays ~10^5-10^6 rows (driver-scale) and each window
+    * task sorts one block. */
+  def packContiguous(corpus: DataFrame, capacity: Int = 512,
+                     blockSpan: Long = 1L << 20): DataFrame = {
+    require(capacity > 0 && blockSpan > 0)
+    import org.apache.spark.sql.expressions.Window
+    val toks = corpus
+      .select(col("doc_id"), size(Dedup.tokens(col("text"))).as("n_tokens"),
+        expr(s"doc_id DIV $blockSpan").as("blk"))
+    val local = toks.withColumn("local_cum",
+      sum("n_tokens").over(Window.partitionBy("blk").orderBy("doc_id")))
+    // one row per block — driver-scale; the unpartitioned window runs over
+    // corpusSize/blockSpan rows by construction, never the corpus
+    val offsets = toks.groupBy("blk").agg(sum("n_tokens").as("btotal"))
+      .withColumn("block_offset",
+        coalesce(sum("btotal").over(
+          Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("blk", "block_offset")
+    local.join(broadcast(offsets), "blk")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("block_offset") + col("local_cum") - col("n_tokens")).as("cum_before"))
+      .select(col("doc_id"), col("n_tokens"),
+        // integer division (DIV), not `/`: Column./ is DOUBLE division and
+        // a 10^12-doc corpus's token count exceeds a double's 2^53 exact
+        // integer range
+        expr(s"cum_before DIV $capacity").as("bin"),
+        (col("cum_before") % capacity).cast("int").as("bin_offset"))
+  }
+
+  /** Intra-document repetition removal (the Gopher-style curation signal):
+    * keep each token's FIRST occurrence, report distinct/duplicate ratios.
+    * Entirely row-local higher-order functions — no explode, no shuffle;
+    * the first-occurrence filter is expressed as
+    * `array_position(tokens, tok) == index` so the semantics are portable
+    * SQL (the oracle recomputes it with list_position), unlike
+    * array_distinct whose ordering is an engine detail. */
+  def repetition(corpus: DataFrame): DataFrame = {
+    val t = Dedup.tokens(col("text"))
+    corpus
+      .select(col("doc_id"), t.as("t"))
+      .where(size(col("t")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        filter(col("t"), (tok, i) =>
+          array_position(col("t"), tok) === (i + 1).cast("long")).as("kept"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        size(col("kept")).as("n_distinct"),
+        round((col("n_tokens") - size(col("kept"))).cast("double") / col("n_tokens"), 6)
+          .as("dup_ratio"),
+        concat_ws(" ", col("kept")).as("text_dedup"))
+  }
+}

@@ -60,19 +60,50 @@ object Similarity {
           transform(col("v"), (x, i) => when(i === 0, x * 2).otherwise(x)).as("v")))
   }
 
+  /** Recall-targeted random-hyperplane LSH parameters, derived from corpus
+    * size instead of hand-tuning:
+    *   - nBits sized so expected bucket density corpusSize / 2^nBits stays
+    *     at ~targetBucket members (bounds candidate-generation cost: pair
+    *     work per bucket is density^2, and the membership buffer cap never
+    *     truncates) — at 10^12 vectors and targetBucket=1000 that is 30
+    *     bits, not the 5-bit/32-bucket tables that fit the sandbox;
+    *   - nTables solved so a threshold-cosine pair's candidate-miss
+    *     probability (1 - p^nBits)^nTables stays <= 1 - minRecall, with
+    *     per-bit collision probability p = 1 - acos(threshold)/pi.
+    * nBits is clamped to [1, 30] (2^30 buckets per table is plenty below
+    * any realistic corpus/targetBucket ratio). */
+  def lshParams(corpusSize: Long, threshold: Double,
+                minRecall: Double = 0.99, targetBucket: Int = 1000): (Int, Int) = {
+    require(corpusSize > 0 && threshold > 0 && threshold < 1 &&
+      minRecall > 0 && minRecall < 1 && targetBucket > 0)
+    val nBits = math.max(1, math.min(30,
+      math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2)).toInt))
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pk = math.pow(p, nBits)
+    val nTables = math.max(1,
+      math.ceil(math.log(1.0 - minRecall) / math.log(1.0 - pk)).toInt)
+    (nBits, nTables)
+  }
+
   /** Embedding-cosine near-duplicate pairs (the embedding flavor of dedup):
     * multi-table LSH buckets generate candidates (grouped row-local pair
     * expansion — never all-pairs), exact cosine verifies >= threshold.
-    * Same scale shape as Dedup.minhashLshPairs. */
+    * Same scale shape as Dedup.minhashLshPairs.
+    *
+    * Pass nBits/nTables <= 0 (the default) to derive them from the corpus
+    * size via [[lshParams]] — one cheap parquet-metadata count, then
+    * bucket tables sized for ~1000 members regardless of scale. The
+    * sandbox exactness-gate query pins (5, 12) explicitly: P(miss) for a
+    * borderline 0.9-cosine pair is (1-p^5)^12 ~ 2e-3 with
+    * p = 1 - acos(0.9)/pi, far lower for the injected near-dups; fewer
+    * bits -> bigger buckets -> more (cheap, exact-verified) candidates in
+    * exchange for recall. */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.9,
-                         nBits: Int = 5, nTables: Int = 12): DataFrame = {
-    // 5 bits x 12 tables: the output is exactness-gated (exhaustive-oracle
-    // compared), so the LSH stage must make a candidate miss negligible —
-    // P(miss) for a 0.9-cosine pair is (1-p^5)^12 ~ 2e-3 with
-    // p = 1 - acos(0.9)/pi, and far lower for the injected near-dups;
-    // fewer bits -> bigger buckets -> more (cheap, exact-verified)
-    // candidates in exchange for recall.
-    val buckets = graft.functions.LshBuckets(col("v"), nBits, nTables)
+                         nBits: Int = -1, nTables: Int = -1): DataFrame = {
+    val (bBits, bTables) =
+      if (nBits > 0 && nTables > 0) (nBits, nTables)
+      else lshParams(emb.count(), threshold)
+    val buckets = graft.functions.LshBuckets(col("v"), bBits, bTables)
     val banded = emb
       .select(col("vec_id"), posexplode_outer(buckets).as(Seq("table", "bucket")))
       .where(col("bucket").isNotNull)

@@ -94,6 +94,25 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got == exact)
   }
 
+  test("dedup simhash: Manku block-combination tables stay all-pairs exact") {
+    // keyBlocks=2 -> C(8,2)=28 tables keyed on 16-bit block pairs; the
+    // pigeonhole guarantee tightens to Hamming <= 6 — verify exactness at
+    // that bound, and that the exactness precondition is enforced.
+    val corpus = Dedup.corpusWithNearDups(documents)
+    val got = Dedup.simhashPairs(corpus, maxHamming = 6, keyBlocks = 2)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val sims = Dedup.simhashes(corpus).as[(Long, Long)].collect()
+    val exact = (for {
+      (ida, sa) <- sims.iterator
+      (idb, sb) <- sims.iterator
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (ida, idb)).toSet
+    assert(got.nonEmpty && got == exact)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(corpus, maxHamming = 7, keyBlocks = 2)
+    }
+  }
+
   test("ngram dedup: zero joins and shingles computed once per row") {
     val df = Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(documents))
     val plan = df.queryExecution.optimizedPlan
@@ -119,7 +138,7 @@ class OpsSpec extends SparkSpec {
     assert("minhash_bands".r.findAllIn(mh).size === 1,
       "minhash banding subtree must be planned exactly once")
     val ec = Similarity.cosineNearDupPairs(
-      Similarity.corpusWithNearDupVecs(embeddings))
+      Similarity.corpusWithNearDupVecs(embeddings), nBits = 5, nTables = 12)
       .queryExecution.optimizedPlan.toString
     assert("lsh_buckets".r.findAllIn(ec).size === 1,
       "LSH bucketing subtree must be planned exactly once")
@@ -142,7 +161,28 @@ class OpsSpec extends SparkSpec {
     assertNoHints(Dedup.simhashPairs(Dedup.corpusWithNearDups(documents)),
       "dedup_simhash")
     assertNoHints(Similarity.cosineNearDupPairs(
-      Similarity.corpusWithNearDupVecs(embeddings)), "dedup_embedding_cosine")
+      Similarity.corpusWithNearDupVecs(embeddings), nBits = 5, nTables = 12),
+      "dedup_embedding_cosine")
+  }
+
+  test("lshParams: corpus-sized tables, recall-solved table count") {
+    // density bound: nBits grows with corpus size so expected bucket
+    // membership stays ~targetBucket
+    val (b12, _) = Similarity.lshParams(1000000000000L, 0.9)
+    assert(b12 === 30, "10^12 corpus -> 30-bit keys (density ~2^10/bucket floor)")
+    val (bSmall, tSmall) = Similarity.lshParams(5000L, 0.9)
+    assert(bSmall >= 1 && bSmall <= 3)
+    assert(tSmall >= 1)
+    // recall target: derived (nBits, nTables) must satisfy the miss bound
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    val (b, t) = Similarity.lshParams(100000000L, 0.9, minRecall = 0.99)
+    assert(math.pow(1.0 - math.pow(p, b), t) <= 0.01 + 1e-12)
+    // derived-default path runs end-to-end and still finds the injected
+    // near-dups (oracle-grade exactness is the pinned sandbox config's job)
+    val derived = Similarity.cosineNearDupPairs(
+        Similarity.corpusWithNearDupVecs(embeddings))
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    assert(derived.exists { case (a, bId) => bId == a + 1000000 })
   }
 
   test("compiled dot product == declarative HOF fold (incl. null semantics)") {

@@ -225,7 +225,31 @@ object SparkEntry {
     // contiguous sequence packing via distributed prefix sum (no global
     // single-task window)
     "pack_sequences" -> ((s, d) =>
-      ops.Sampling.packContiguous(graft.data.Tables.read(s, d, "documents")))
+      ops.Sampling.packContiguous(graft.data.Tables.read(s, d, "documents"))),
+    // Gopher-style structural document filters (row-local ratios)
+    "text_gopher" -> ((s, d) =>
+      ops.TextAnalysis.gopherQuality(graft.data.Tables.read(s, d, "documents"))),
+    // corpus-frequency doc stats (integer-exact unigram-rarity skeleton):
+    // vocab pass + per-doc token-frequency join/aggregate
+    "text_token_stats" -> ((s, d) =>
+      ops.TextAnalysis.tokenFreqStats(graft.data.Tables.read(s, d, "documents"))),
+    // PII detection + redaction over the deterministically PII-injected
+    // corpus (counts from original text, typed-tag redaction cascade)
+    "pii_scrub" -> ((s, d) =>
+      ops.Curation.piiScrub(
+        ops.Curation.corpusWithPii(graft.data.Tables.read(s, d, "documents")))),
+    // benchmark decontamination: corpus docs sharing 3-grams with the eval
+    // set (doc_id % 97 = 0 stands in for the benchmark suite)
+    "decontaminate" -> ((s, d) => {
+      val docs = graft.data.Tables.read(s, d, "documents")
+      ops.Curation.decontaminate(docs, docs.where(col("doc_id") % 97 === 0))
+    }),
+    // SemDeDup-style semantic near-dup pairs: coarse-quantizer cells +
+    // within-cell exact cosine
+    "dedup_semantic" -> ((s, d) =>
+      ops.Similarity.semanticDedupPairs(
+        ops.Similarity.corpusWithNearDupVecs(
+          graft.data.Tables.read(s, d, "embeddings"))))
   )
 
   /** DuckDB oracles. Expected violations are recomputed from the injection
@@ -790,7 +814,108 @@ object SparkEntry {
           |SELECT doc_id, CAST(n AS INT) AS n_tokens,
           |  CAST((cum - n) // 512 AS BIGINT) AS bin,
           |  CAST((cum - n) % 512 AS INT) AS bin_offset
-          |FROM c""".stripMargin
+          |FROM c""".stripMargin,
+      // oracle: the same Gopher-style structural ratios recomputed from
+      // first principles (regexp_matches = Java rlike for these
+      // class-only patterns)
+      "text_gopher" ->
+        """WITH tok AS (SELECT doc_id, text,
+          |  list_filter(string_split(text, ' '), w -> len(w) > 0) AS t FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(t) AS INT) AS n_tokens,
+          |  round(CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+          |    / len(t), 6) AS frac_alpha,
+          |  round(CAST(len(list_filter(t, w -> regexp_matches(w, '^[0-9]+$'))) AS DOUBLE)
+          |    / len(t), 6) AS frac_numeric,
+          |  CAST(list_max(list_transform(t, w -> length(w))) AS INT) AS max_tok_len,
+          |  CAST((length(text) - length(regexp_replace(text, '[.]{3}', '', 'g'))) // 3
+          |    AS INT) AS n_ellipsis,
+          |  CASE WHEN len(t) BETWEEN 20 AND 100000
+          |        AND CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)/len(t)
+          |            BETWEEN 2.0 AND 12.0
+          |        AND len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) * 5 >= len(t) * 4
+          |       THEN 1 ELSE 0 END AS gopher_ok
+          |FROM tok WHERE len(t) > 0""".stripMargin,
+      // oracle: vocabulary counts + per-doc frequency join, all integer
+      "text_token_stats" ->
+        """WITH tok AS (SELECT doc_id,
+          |        unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS token
+          |      FROM documents),
+          |f AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
+          |SELECT doc_id,
+          |  CAST(count(*) AS INT) AS n_tokens,
+          |  CAST(sum(freq) AS BIGINT) AS sum_freq,
+          |  CAST(min(freq) AS BIGINT) AS min_freq,
+          |  CAST(sum(CASE WHEN freq < 5 THEN 1 ELSE 0 END) AS INT) AS n_rare
+          |FROM tok JOIN f USING (token) GROUP BY doc_id""".stripMargin,
+      // oracle: the PII injection + the same RE2/Java-portable patterns;
+      // counts from the original text, then the same redaction cascade
+      "pii_scrub" -> {
+        val (em, ip, ph) = (graft.ops.Curation.emailPattern,
+          graft.ops.Curation.ipPattern, graft.ops.Curation.phonePattern)
+        s"""WITH corpus AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 10 = 0
+           |           THEN text || ' contact bob.smith@example.com ip 10.77.3.204 tel 555-0142'
+           |         WHEN doc_id % 10 = 5
+           |           THEN text || ' ann_lee@test.org from 192.168.0.13'
+           |         ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips,
+           |  CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phones,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
+           |    AS redacted,
+           |  CASE WHEN len(regexp_extract_all(text, '$em'))
+           |            + len(regexp_extract_all(text, '$ip'))
+           |            + len(regexp_extract_all(text, '$ph')) > 0
+           |       THEN 1 ELSE 0 END AS pii_found
+           |FROM corpus""".stripMargin
+      },
+      // oracle: distinct eval-set shingles joined against per-doc distinct
+      // shingles — an independent recomputation of the contamination counts
+      "decontaminate" ->
+        """WITH tok AS (SELECT doc_id,
+          |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS t FROM documents),
+          |shg AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+          |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          |       FROM tok WHERE len(t) >= 3),
+          |ev AS (SELECT DISTINCT unnest(sh) AS s FROM shg WHERE doc_id % 97 = 0),
+          |ds AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shg)
+          |SELECT doc_id, CAST(n_sh AS INT) AS n_shingles,
+          |  CAST(count(*) AS INT) AS n_contam,
+          |  round(CAST(count(*) AS DOUBLE) / n_sh, 6) AS contam_ratio
+          |FROM ds JOIN ev USING (s)
+          |GROUP BY doc_id, n_sh""".stripMargin,
+      // oracle: the deterministic SemDeDup pipeline recomputed — seed
+      // centroids (vec_id < 16), nearest-cell assignment with the
+      // (cscore DESC, cell_id) tie-break, within-cell pairs, exact cosine
+      "dedup_semantic" ->
+        """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |corpus AS (
+          |  SELECT vec_id, v FROM base
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |         list_transform(generate_series(1, len(v)),
+          |           i -> CASE WHEN i=1 THEN v[1]*2 ELSE v[i] END)
+          |  FROM base WHERE vec_id%25=0),
+          |e AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM corpus),
+          |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e WHERE vec_id < 16),
+          |ac AS (SELECT p.vec_id, c.cell_id,
+          |              list_dot_product(p.v, c.cv)/(p.nrm*c.cn) AS cscore
+          |       FROM e p CROSS JOIN cents c),
+          |asg AS (SELECT vec_id, cell_id FROM (
+          |          SELECT *, row_number() OVER (PARTITION BY vec_id
+          |                    ORDER BY cscore DESC, cell_id) AS rk FROM ac)
+          |        WHERE rk = 1)
+          |SELECT a.cell_id, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+          |       round(list_dot_product(ea.v, eb.v)/(ea.nrm*eb.nrm), 6) AS score_r
+          |FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+          |JOIN e ea ON ea.vec_id = a.vec_id
+          |JOIN e eb ON eb.vec_id = b.vec_id
+          |WHERE list_dot_product(ea.v, eb.v)/(ea.nrm*eb.nrm) >= 0.9""".stripMargin
     )
   }
 

@@ -24,6 +24,84 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** documents + deterministic PII-bearing suffixes (the sandbox corpus has
+    * none): every doc_id%10=0 row gains an email + IPv4 + phone, every
+    * doc_id%10=5 row an email + IPv4 — keeping expected outputs
+    * SQL-recomputable for the DuckDB oracle (same pattern as
+    * Dedup.corpusWithNearDups). */
+  def corpusWithPii(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"),
+          lit(" contact bob.smith@example.com ip 10.77.3.204 tel 555-0142")))
+        .when(col("doc_id") % 10 === 5,
+          concat(col("text"), lit(" ann_lee@test.org from 192.168.0.13")))
+        .otherwise(col("text")).as("text"))
+
+  /** Patterns deliberately use only character classes + bounded quantifiers
+    * so the Java (Spark) and RE2 (DuckDB oracle) regex dialects agree;
+    * `[.]` instead of `\.` keeps them quoting-safe in both hosts. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+  val ipPattern    = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val phonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** PII detection + redaction — the scrub step of a training-data pipeline
+    * (emails, IPv4 addresses, phone-shaped numbers). Pure row-local Column
+    * algebra: counts come from the ORIGINAL text (so overlapping redactions
+    * cannot hide each other), then a redaction cascade replaces
+    * email -> ip -> phone with typed placeholder tags. Scan-parallel,
+    * shuffle-free, codegen'd end to end. */
+  def piiScrub(corpus: DataFrame): DataFrame =
+    corpus.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailPattern), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(ipPattern), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(phonePattern), lit(0)))
+        .as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+          ipPattern, "<IP>"),
+        phonePattern, "<PHONE>").as("redacted"))
+      .withColumn("pii_found",
+        (col("n_emails") + col("n_ips") + col("n_phones") > 0).cast("int"))
+
+  /** Benchmark decontamination (GPT-3 appx. C / Dolma style): flag corpus
+    * docs sharing word n-grams with an evaluation set. Emits one row per
+    * CONTAMINATED doc (doc_id, n_shingles, n_contam, contam ratio) — clean
+    * docs pass through unflagged, like the dedup operators emit only pairs.
+    *
+    * Scale shape: the eval set is tiny and fixed (benchmark suites), the
+    * corpus is not. Corpus shingles are exploded ONCE and inner-joined to
+    * the distinct eval shingle set — AQE broadcasts the eval side, so the
+    * corpus never shuffles; the per-doc aggregate then combines map-side.
+    * The per-doc shingle count rides through the explode (same
+    * zero-self-join trick as Dedup.ngramJaccardPairs), so no second corpus
+    * reference exists anywhere. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+                    minMatches: Int = 1): DataFrame = {
+    val evalShingles = evalDocs
+      .select(explode_outer(Dedup.shingles(col("text"))).as("s"))
+      .where(col("s").isNotNull)
+      .distinct()
+    val docShingles = corpus
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode_outer(col("sh")).as("s"))
+      .where(col("s").isNotNull)
+    docShingles
+      .join(evalShingles, "s")
+      // doc shingles are distinct per doc and the eval side is distinct, so
+      // each joined row is one distinct contaminated shingle
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).cast("int").as("n_contam"))
+      .where(col("n_contam") >= minMatches)
+      .select(col("doc_id"), col("n_shingles"), col("n_contam"),
+        round(col("n_contam").cast("double") / col("n_shingles"), 6)
+          .as("contam_ratio"))
+  }
+
   def decisions(documents: DataFrame): DataFrame = {
     val corpus = Dedup.corpusWithExactDups(documents)
     val langs = TextAnalysis.stopwords

@@ -276,6 +276,60 @@ object Similarity {
     rerank(index, q, k)
   }
 
+  /** Cluster-based semantic near-duplicate pairs (SemDeDup, Abbas et al.
+    * 2023): embeddings are partitioned by a coarse quantizer and ONLY
+    * within-cluster pairs are cosine-compared — the O(n^2/k) restriction
+    * that makes embedding dedup tractable where LSH recall tuning is
+    * unwanted. Candidate generation is a per-cell grouped pair expansion
+    * (bounded membership buffer, never a self-join); the exact-cosine
+    * verify joins the corpus back to candidate ids with the same
+    * single-reference structure as cosineNearDupPairs.
+    *
+    * The quantizer here is the deterministic seed-centroid one (lowest
+    * nCells vec_ids) so the whole pipeline is oracle-recomputable; swap in
+    * [[kmeansCentroids]] at scale, with nCells sized so corpus/nCells stays
+    * under the membership cap (the paper runs k ~ sqrt(n); a 10^12-doc
+    * corpus at k = 10^7 keeps cells at ~10^5 — pair work per cell is then
+    * density^2, so raise k or sub-bucket hot cells via LSH inside the cell
+    * before lowering the cap). */
+  def semanticDedupPairs(corpus: DataFrame, threshold: Double = 0.9,
+                         nCells: Int = 16): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val centroids = e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cn"))
+    // every vector (centroid seeds included) assigned to its 1 nearest cell
+    val assigned = nearestCells(e, centroids, "vec_id", 1)
+    val candidates = assigned
+      .groupBy(col("cell_id"))
+      .agg(graft.functions.BoundedCollect.longs(1000)(col("vec_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(col("cell_id"),
+        explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("cell_id"), col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"))
+    // single assignment per vector -> a pair occurs in at most one cell, so
+    // no distinct() is needed before the verify
+    val m = candidates.select(
+      col("cell_id"), col("vec_id_a"), col("vec_id_b"),
+      explode(array(col("vec_id_a"), col("vec_id_b"))).as("vec_id"))
+    val matched = corpus.select(col("vec_id"), col("v")).join(m, "vec_id")
+      .select(col("cell_id"), col("vec_id_a"), col("vec_id_b"), col("vec_id"),
+        struct(col("v"), sqrt(dot(col("v"), col("v"))).as("norm")).as("vn"))
+    matched
+      .groupBy(col("cell_id"), col("vec_id_a"), col("vec_id_b"))
+      .agg(
+        first(when(col("vec_id") === col("vec_id_a"), col("vn")),
+          ignoreNulls = true).as("a"),
+        first(when(col("vec_id") === col("vec_id_b"), col("vn")),
+          ignoreNulls = true).as("b"))
+      .withColumn("score",
+        dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+      .where(col("score") >= threshold)
+      .select(col("cell_id"), col("vec_id_a"), col("vec_id_b"),
+        round(col("score"), 6).as("score_r"))
+  }
+
   /** Scalar-quantized (SQ8) similarity search — the memory-compressed index
     * path: per-dimension (min, max) trained in ONE corpus pass (result is
     * O(dim), driver-safe at any corpus size), candidates encoded to 8-bit

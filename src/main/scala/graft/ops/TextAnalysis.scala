@@ -97,6 +97,82 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Gopher-style document filters (Rae et al. 2021, "Scaling Language
+    * Models", table A1): structural ratios that catch boilerplate and
+    * non-prose documents. All row-local Column algebra — scan-parallel,
+    * shuffle-free, and every ratio is a single division of exact integer
+    * counts (engine-portable).
+    *
+    *   frac_alpha   — fraction of tokens containing at least one letter
+    *                  (Gopher requires >= 0.8; gibberish/number dumps fail)
+    *   frac_numeric — fraction of all-digit tokens
+    *   max_tok_len  — longest token (URL/base64 blobs blow this up)
+    *   n_ellipsis   — '...' occurrence count (listing/navigation pages)
+    *   gopher_ok    — the composite gate: token count in [20, 100000],
+    *                  mean token length in [2, 12], frac_alpha >= 0.8
+    */
+  def gopherQuality(documents: DataFrame): DataFrame = {
+    // tokens let-bound: five features off one tokenization per row
+    val feats = graft.util.Exprs.withLet(tokens(col("text"))) { t =>
+      struct(
+        size(t).as("n_tokens"),
+        size(filter(t, w => w.rlike("[A-Za-z]"))).as("n_alpha"),
+        size(filter(t, w => w.rlike("^[0-9]+$"))).as("n_numeric"),
+        array_max(transform(t, w => length(w))).as("max_tok_len"),
+        aggregate(t, lit(0), (acc, w) => acc + length(w)).as("tok_chars"))
+    }
+    documents
+      .select(col("doc_id"), feats.as("f"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "[.]{3}", ""))) / 3)
+          .cast("int").as("n_ellipsis"))
+      .where(col("f.n_tokens") > 0)
+      .select(
+        col("doc_id"),
+        col("f.n_tokens").as("n_tokens"),
+        round(col("f.n_alpha").cast("double") / col("f.n_tokens"), 6)
+          .as("frac_alpha"),
+        round(col("f.n_numeric").cast("double") / col("f.n_tokens"), 6)
+          .as("frac_numeric"),
+        col("f.max_tok_len").as("max_tok_len"),
+        col("n_ellipsis"),
+        (col("f.n_tokens").between(20, 100000) &&
+          (col("f.tok_chars").cast("double") / col("f.n_tokens")).between(2.0, 12.0) &&
+          col("f.n_alpha") * 5 >= col("f.n_tokens") * 4).cast("int").as("gopher_ok"))
+  }
+
+  /** Corpus-frequency document statistics — the integer-exact skeleton of a
+    * unigram-LM rarity score (docs dominated by corpus-rare tokens are
+    * gibberish/OCR noise; docs of only top-frequency tokens are
+    * boilerplate). Two corpus passes by necessity (corpus statistics, then
+    * per-doc application — same shape as SQ8's train/encode):
+    *
+    *   pass 1: token -> corpus count; one exploded hash aggregation with
+    *           map-side combine (output is vocabulary-sized).
+    *   pass 2: per-doc join of its tokens against the vocabulary and a
+    *           per-doc aggregate. The join is many-to-ONE on token; hot
+    *           tokens ("the") skew the probe side, which AQE's skew-join
+    *           split handles — never salt a many-to-one build side.
+    *
+    * All outputs are exact integers (sums of counts), not log-probs: float
+    * log arithmetic would cost cross-engine bit-equality and adds nothing
+    * to the ranking the score exists for. */
+  def tokenFreqStats(documents: DataFrame, rareBelow: Int = 5): DataFrame = {
+    def exploded(df: DataFrame) = df
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull)
+    val vocab = exploded(documents)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    exploded(documents)
+      .join(vocab, "token")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        sum("freq").as("sum_freq"),
+        min("freq").as("min_freq"),
+        sum(when(col("freq") < rareBelow, 1).otherwise(0)).cast("int").as("n_rare"))
+  }
+
   /** Document fingerprints, mod 1000003, from a portable per-word hash
     * (31*len + 7*first-char + last-char codepoints — identical arithmetic
     * is expressible in ANSI SQL for the oracle):

@@ -163,6 +163,18 @@ class OpsSpec extends SparkSpec {
     assertNoHints(Similarity.cosineNearDupPairs(
       Similarity.corpusWithNearDupVecs(embeddings), nBits = 5, nTables = 12),
       "dedup_embedding_cosine")
+    assertNoHints(Curation.decontaminate(documents,
+      documents.where(col("doc_id") % 97 === 0)), "decontaminate")
+    // semantic dedup is allowed EXACTLY ONE broadcast hint: the
+    // nCells-bounded centroid table (a dimension table, not per-doc data);
+    // its verify join must stay hint-free like the others
+    val sd = Similarity.semanticDedupPairs(
+      Similarity.corpusWithNearDupVecs(embeddings))
+    val sdHints = sd.queryExecution.optimizedPlan
+      .collect { case j: Join => j.hint }
+      .filter(h => h.leftHint.nonEmpty || h.rightHint.nonEmpty)
+    assert(sdHints.size === 1,
+      s"dedup_semantic must broadcast only the centroid table: $sdHints")
   }
 
   test("lshParams: corpus-sized tables, recall-solved table count") {
@@ -327,6 +339,87 @@ class OpsSpec extends SparkSpec {
       .select(Multimodal.resizePooled(col("features"), 2).as("r"))
       .as[Seq[Float]].head()
     assert(pooled == Seq(2f, 6f))
+  }
+
+  test("text: gopher structural filters match hand-computed features") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today " +
+        "more words to cross twenty tokens easily ok fine"),
+      (2L, "1 2 3 4 5"),
+      (3L, "wait ... what ... no")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs)
+      .select("doc_id", "frac_alpha", "frac_numeric", "n_ellipsis", "gopher_ok")
+      .as[(Long, Double, Double, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1L) == ((1.0, 0.0, 0, 1)))   // 22 prose tokens pass the gate
+    assert(got(2L) == ((0.0, 1.0, 0, 0)))   // pure digits fail frac_alpha
+    assert(got(3L)._3 == 2)                 // two '...' occurrences
+    assert(got(3L)._4 == 0)                 // under 20 tokens
+  }
+
+  test("text: token frequency stats are exact on a tiny corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenFreqStats(docs)
+      .select("doc_id", "n_tokens", "sum_freq", "min_freq", "n_rare")
+      .as[(Long, Int, Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // corpus freqs: a=2 b=2 c=1
+    assert(got(1L) == ((3, 6L, 2L, 3)))
+    assert(got(2L) == ((2, 3L, 1L, 2)))
+  }
+
+  test("curation: pii scrub counts and redacts the injected patterns") {
+    val docs = Seq((10L, "hello world"), (3L, "clean text here"),
+      (15L, "before tail")).toDF("doc_id", "text")
+    val got = Curation.piiScrub(Curation.corpusWithPii(docs))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "pii_found", "redacted")
+      .as[(Long, Int, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(got(10L) ==
+      ((1, 1, 1, 1, "hello world contact <EMAIL> ip <IP> tel <PHONE>")))
+    assert(got(3L) == ((0, 0, 0, 0, "clean text here")))
+    assert(got(15L) == ((1, 1, 0, 1, "before tail <EMAIL> from <IP>")))
+  }
+
+  test("curation: decontamination flags exactly the eval-overlapping docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma other words"),
+      (3L, "completely different text here")).toDF("doc_id", "text")
+    val got = Curation.decontaminate(docs, docs.where(col("doc_id") === 1))
+      .select("doc_id", "n_shingles", "n_contam", "contam_ratio")
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((2, 2, 1.0)))       // the eval doc itself: fully hit
+    assert(got(2L) == ((3, 1, 0.333333)))  // shares 'alpha beta gamma'
+    assert(!got.contains(3L))              // clean doc not emitted
+  }
+
+  test("similarity: semantic dedup equals exhaustive within-cell cosine") {
+    val corpus = Similarity.corpusWithNearDupVecs(embeddings)
+    val got = Similarity.semanticDedupPairs(corpus)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    // reference: the window/self-join formulation the operator avoids
+    val e = corpus.select(col("vec_id"), col("v"))
+      .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val cents = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cn"))
+    import org.apache.spark.sql.expressions.Window
+    val asg = e.crossJoin(cents)
+      .select(col("vec_id"), col("cell_id"),
+        (Similarity.dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("cs"))
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cs").desc, col("cell_id"))))
+      .where(col("rk") === 1).select("vec_id", "cell_id")
+    val ew = e.join(asg, "vec_id")
+    val a = ew.select(col("cell_id"), col("vec_id").as("ida"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = ew.select(col("cell_id"), col("vec_id").as("idb"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val exact = a.join(b, Seq("cell_id")).where(col("ida") < col("idb"))
+      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.9)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == exact)
   }
 
   test("multimodal: stub decode features are deterministic and normalized") {

@@ -44,6 +44,31 @@ object StreamValidate {
       .select(col("doc_id") +: RuleSet.verdictCols(col("violations")): _*)
   }
 
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup on content hash — the streaming analog of
+    * ops.Dedup.exactDuplicates' keep-side: the FIRST doc of each content
+    * hash passes, later arrivals (same or later micro-batch) are dropped.
+    * State is the hash set, which grows unboundedly — only correct for
+    * bounded re-ingest windows; use [[dedupEventsStream]]'s watermarked
+    * variant when an event-time column exists. */
+  def dedupDocsStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(documentsSchema).parquet(inputDir)
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .dropDuplicates("text_hash")
+
+  /** Watermarked streaming dedup (the production shape): duplicate
+    * event_ids arriving within the watermark horizon are dropped and the
+    * dedup state is EVICTED once the watermark passes — bounded state at
+    * any stream length, the only dedup a 10^12-event stream can run. */
+  def dedupEventsStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(inputDir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked tumbling-window event metrics (1-day windows, 1-day
     * late-data tolerance) — streaming analog of the quarterly report. */
   def windowedEventCounts(spark: SparkSession, inputDir: String): DataFrame =

@@ -124,6 +124,40 @@ class StreamingAndMetricsSpec extends SparkSpec {
     assert(afterSecond == nAll, s"restart must add exactly the new file: $afterSecond != $nAll")
   }
 
+  test("streaming exact dedup keeps one doc per content hash across batches") {
+    val watched = Files.createTempDirectory("graft-stream-dedup").toString
+    // the same file arrives twice (re-ingest) -> every doc is a duplicate
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$watched/a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$watched/b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamValidate.dedupDocsStream(spark, watched)
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val batchDistinct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(md5(col("text").cast("binary"))).distinct().count()
+    assert(spark.table("stream_dedup").count() == batchDistinct)
+    // each surviving hash appears exactly once
+    assert(spark.table("stream_dedup")
+      .groupBy("text_hash").count().where(col("count") > 1).count() == 0)
+  }
+
+  test("watermarked streaming dedup drops in-horizon duplicate event ids") {
+    val watched = Files.createTempDirectory("graft-stream-evdedup").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$watched/a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$watched/b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamValidate.dedupEventsStream(spark, watched)
+      .writeStream.format("memory").queryName("stream_evdedup")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val distinctIds = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id").distinct().count()
+    assert(spark.table("stream_evdedup").count() == distinctIds)
+  }
+
   test("watermarked windowed event counts match the batch aggregation") {
     val dir = stage("events")
     val q = StreamValidate.windowedEventCounts(spark, dir)

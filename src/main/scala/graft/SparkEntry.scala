@@ -249,7 +249,11 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) =>
       ops.Similarity.semanticDedupPairs(
         ops.Similarity.corpusWithNearDupVecs(
-          graft.data.Tables.read(s, d, "embeddings"))))
+          graft.data.Tables.read(s, d, "embeddings")))),
+    // classifier-based quality filter (weak labels -> LR -> smooth score);
+    // rows-only: LBFGS training is float-order-dependent by design
+    "quality_classifier" -> ((s, d) =>
+      ops.Curation.qualityClassifier(graft.data.Tables.read(s, d, "documents")))
   )
 
   /** DuckDB oracles. Expected violations are recomputed from the injection

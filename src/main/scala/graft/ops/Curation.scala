@@ -102,6 +102,47 @@ object Curation {
           .as("contam_ratio"))
   }
 
+  /** Classifier-based quality filtering (the DCLM / fineweb-edu shape):
+    * cheap structural heuristics provide WEAK LABELS, a logistic regression
+    * learns a smooth quality score from row-local features, and the score —
+    * not the brittle hand rule — gates the corpus. At 10^12 docs the train
+    * set is a tiny deterministic sample (here doc_id%3=0), the model is
+    * O(features) on the driver, and scoring is a broadcast-coefficients
+    * row-local map (MLlib transform), so the scoring pass is scan-parallel
+    * with no shuffle.
+    *
+    * Training is float-order-dependent (LBFGS partial aggregation), so the
+    * query is registered rows-only; the spec asserts held-out agreement
+    * with the weak labels instead. */
+  def qualityClassifier(documents: DataFrame): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val q = TextAnalysis.quality(documents)
+    val g = TextAnalysis.gopherQuality(documents)
+      .select(col("doc_id"), col("frac_alpha"), col("frac_numeric"),
+        col("max_tok_len"), col("gopher_ok"))
+    // weak label: the Gopher composite gate (label-balanced on this corpus,
+    // where quality_ok is degenerate-positive); the LR learns a smooth
+    // score from the raw ratios
+    val feat = q.join(g, "doc_id")
+      .select(col("doc_id"), col("gopher_ok").cast("double").as("label"),
+        col("n_tokens").cast("double"), col("avg_token_len"),
+        col("stop_ratio"), col("punct_ratio"), col("frac_alpha"),
+        col("frac_numeric"), col("max_tok_len").cast("double"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("n_tokens", "avg_token_len", "stop_ratio",
+        "punct_ratio", "frac_alpha", "frac_numeric", "max_tok_len"))
+      .setOutputCol("features").transform(feat)
+    val model = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+      .fit(assembled.where(col("doc_id") % 3 === 0))
+    import org.apache.spark.ml.functions.vector_to_array
+    model.transform(assembled)
+      .select(col("doc_id"), col("label").cast("int").as("weak_label"),
+        col("prediction").cast("int").as("pred_ok"),
+        round(element_at(vector_to_array(col("probability")), 2), 6)
+          .as("p_quality"))
+  }
+
   def decisions(documents: DataFrame): DataFrame = {
     val corpus = Dedup.corpusWithExactDups(documents)
     val langs = TextAnalysis.stopwords

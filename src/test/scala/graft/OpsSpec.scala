@@ -422,6 +422,25 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got == exact)
   }
 
+  test("curation: quality classifier recovers the weak labels out of sample") {
+    val got = Curation.qualityClassifier(documents).cache()
+    // held-out docs only (training used doc_id%3=0)
+    val held = got.where(col("doc_id") % 3 =!= 0)
+    val n = held.count()
+    val agree = held.where(col("pred_ok") === col("weak_label")).count()
+    assert(n > 100, s"held-out set too small: $n")
+    assert(agree.toDouble / n >= 0.9,
+      s"held-out agreement ${agree.toDouble / n} below 0.9")
+    // scores are calibrated probabilities in [0,1], both classes present
+    import org.apache.spark.sql.Row
+    val Row(mn: Double, mx: Double) =
+      got.agg(min("p_quality"), max("p_quality")).head()
+    assert(mn >= 0.0 && mx <= 1.0)
+    assert(got.select("weak_label").distinct().count() == 2,
+      "weak labels must be balanced enough to exercise both classes")
+    got.unpersist()
+  }
+
   test("multimodal: stub decode features are deterministic and normalized") {
     val media = Multimodal.mediaTable(documents)
     val feats = Multimodal.extractFeatures(spark, media).cache()

@@ -35,8 +35,11 @@ object Bench {
 
     // min over reps: single-shot timings are dominated by per-plan codegen
     // compilation + JIT warmup (~0.3-0.5 s/query) and shared-host noise —
-    // min-of-2 measures the engine, not the compiler
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // the min measures the engine, not the compiler or the neighbors
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // optional comma-separated query filter for focused profiling runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -45,27 +48,57 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
+    // host-health calibration: a fixed single-thread integer workload
+    // (~0.2 s on an unloaded core). This box is a shared-host microVM with
+    // INVISIBLE neighbor contention (steal/bandwidth do not appear in psi
+    // or guest top, measured): when a calib sample is 3-15x its floor, the
+    // same window's query timings are inflated by the host, not the engine.
+    // Reported per round so bench variance is attributable.
+    def calibrate(): Double = time {
+      var s = 0L; var i = 0
+      while (i < 100000000) { s = s * 6364136223846793005L + i; i += 1 }
+      if (s == 42L) System.err.println("")  // defeat dead-code elimination
+    }
 
     // JIT/IO warmup on the flagship pass (not counted)
     force("validate_verdicts")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      // per-rep try: a transient rep-2 failure must not discard a valid
-      // rep-1 timing; -1.0 only when every rep failed
-      val times = (1 to reps).flatMap { _ =>
-        try Some(force(name)) catch { case _: Throwable => None }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    // reps are INTERLEAVED round-robin (all queries once, then again):
+    // shared-host noise windows last minutes — back-to-back reps of one
+    // query all land inside a bad window, while interleaved rounds give
+    // every query a sample from each window, so min-over-rounds recovers
+    // the clean-host timing (measured: back-to-back min 28 s vs
+    // steady-state 2.5 s for the same query during one noise window)
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    val calib = (1 to reps).map { r =>
+      val c = calibrate()
+      names.foreach { name =>
+        // per-rep try: a transient failure must not discard other reps'
+        // timings; -1.0 only when every rep failed
+        try {
+          val t = force(name)
+          System.err.println(f"[bench-rep] $name round$r $t%.2f s")
+          samples(name) = t :: samples(name)
+        } catch { case _: Throwable => () }
       }
-      val sec = if (times.isEmpty) -1.0 else times.min
+      c
+    }
+    val results = names.map { name =>
+      val sec = if (samples(name).isEmpty) -1.0 else samples(name).min
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
       name -> sec
     }
     val nDocs = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val verdictSec = results.toMap.apply("validate_verdicts")
+    val verdictSec = results.toMap.getOrElse("validate_verdicts", -1.0)
     val docsPerSec = if (verdictSec > 0) nDocs / verdictSec else -1.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":$docsPerSec}""")
+    val cal = calib.map(c => f"$c%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":$docsPerSec,"calib_sec":$cal}""")
     spark.stop()
   }
 }

@@ -253,7 +253,11 @@ object SparkEntry {
     // classifier-based quality filter (weak labels -> LR -> smooth score);
     // rows-only: LBFGS training is float-order-dependent by design
     "quality_classifier" -> ((s, d) =>
-      ops.Curation.qualityClassifier(graft.data.Tables.read(s, d, "documents")))
+      ops.Curation.qualityClassifier(graft.data.Tables.read(s, d, "documents"))),
+    // distributed as-of join (union-tag + keyed merge sweep): purchase ->
+    // latest prior click attribution; oracle = DuckDB's native ASOF JOIN
+    "join_asof" -> ((s, d) =>
+      ops.AsOf.purchaseAttribution(graft.data.Tables.read(s, d, "events")))
   )
 
   /** DuckDB oracles. Expected violations are recomputed from the injection
@@ -893,6 +897,17 @@ object SparkEntry {
           |  round(CAST(count(*) AS DOUBLE) / n_sh, 6) AS contam_ratio
           |FROM ds JOIN ev USING (s)
           |GROUP BY doc_id, n_sh""".stripMargin,
+      // oracle: DuckDB's NATIVE ASOF JOIN — a fully independent
+      // implementation of the same inclusive (<=) as-of semantics
+      "join_asof" ->
+        """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+          |           FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          |      FROM events WHERE event_type = 'click')
+          |SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts,
+          |  CAST(date_diff('second', click_ts, purchase_ts) AS BIGINT) AS gap_s
+          |FROM p ASOF LEFT JOIN c
+          |  ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts""".stripMargin,
       // oracle: the deterministic SemDeDup pipeline recomputed — seed
       // centroids (vec_id < 16), nearest-cell assignment with the
       // (cscore DESC, cell_id) tie-break, within-cell pairs, exact cosine

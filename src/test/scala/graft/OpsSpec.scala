@@ -441,6 +441,29 @@ class OpsSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("as-of join: latest prior right row per key, inclusive ties, left semantics") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      (1L, 10L, "click", ts(10)), (1L, 11L, "click", ts(20)),
+      (1L, 12L, "purchase", ts(25)),   // -> click 11 (latest prior)
+      (1L, 13L, "purchase", ts(5)),    // -> no prior click (NULL)
+      (2L, 20L, "click", ts(30)), (2L, 21L, "purchase", ts(30)),
+      // simultaneous click matches (inclusive <=)
+      (3L, 31L, "purchase", ts(99))    // user with no clicks at all
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = AsOf.purchaseAttribution(events)
+      .select("purchase_id", "click_id", "gap_s")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(12L) == ((Some(11L), Some(5L))))
+    assert(got(13L) == ((None, None)))
+    assert(got(21L) == ((Some(20L), Some(0L))))
+    assert(got(31L) == ((None, None)))
+    // one output row per purchase, no fan-out
+    assert(got.size == 4)
+  }
+
   test("multimodal: stub decode features are deterministic and normalized") {
     val media = Multimodal.mediaTable(documents)
     val feats = Multimodal.extractFeatures(spark, media).cache()

@@ -462,6 +462,16 @@ class OpsSpec extends SparkSpec {
     assert(got(31L) == ((None, None)))
     // one output row per purchase, no fan-out
     assert(got.size == 4)
+
+    // plan shape: the as-of is a union + ONE keyed shuffle + window sweep —
+    // no Join node anywhere (an inequality join would nested-loop at scale)
+    val plan = AsOf.purchaseAttribution(events).queryExecution
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    assert(plan.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "as-of must not plan a join")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan.executedPlan.toString).size
+    assert(exchanges == 1, s"as-of must shuffle exactly once, found $exchanges")
   }
 
   test("multimodal: stub decode features are deterministic and normalized") {

@@ -72,13 +72,17 @@ object Curation {
     * CONTAMINATED doc (doc_id, n_shingles, n_contam, contam ratio) — clean
     * docs pass through unflagged, like the dedup operators emit only pairs.
     *
-    * Scale shape: the eval set is tiny and fixed (benchmark suites), the
-    * corpus is not. Corpus shingles are exploded ONCE and inner-joined to
-    * the distinct eval shingle set — AQE broadcasts the eval side, so the
-    * corpus never shuffles; the per-doc aggregate then combines map-side.
-    * The per-doc shingle count rides through the explode (same
-    * zero-self-join trick as Dedup.ngramJaccardPairs), so no second corpus
-    * reference exists anywhere. */
+    * Scale shape: the eval set is tiny, FIXED and bounded (benchmark
+    * suites — the one genuinely broadcastable table in a dedup pipeline,
+    * like Dolma's decontamination bloom filter), the corpus is not. Corpus
+    * shingles are exploded ONCE and inner-joined to the distinct eval
+    * shingle set, which is broadcast EXPLICITLY: the static planner's size
+    * estimate under a Generate is garbage (observed: it chose to build the
+    * corpus side), and the corpus must never be the build side at 10^12
+    * docs. The corpus therefore never shuffles for the join; the per-doc
+    * aggregate then combines map-side. The per-doc shingle count rides
+    * through the explode (same zero-self-join trick as
+    * Dedup.ngramJaccardPairs), so no second corpus reference exists. */
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
                     minMatches: Int = 1): DataFrame = {
     val evalShingles = evalDocs
@@ -91,7 +95,7 @@ object Curation {
         explode_outer(col("sh")).as("s"))
       .where(col("s").isNotNull)
     docShingles
-      .join(evalShingles, "s")
+      .join(broadcast(evalShingles), "s")
       // doc shingles are distinct per doc and the eval side is distinct, so
       // each joined row is one distinct contaminated shingle
       .groupBy(col("doc_id"), col("n_shingles"))

@@ -163,18 +163,24 @@ class OpsSpec extends SparkSpec {
     assertNoHints(Similarity.cosineNearDupPairs(
       Similarity.corpusWithNearDupVecs(embeddings), nBits = 5, nTables = 12),
       "dedup_embedding_cosine")
-    assertNoHints(Curation.decontaminate(documents,
+    // two ops are allowed EXACTLY ONE broadcast hint, on their bounded
+    // NON-corpus side (dimension-table-sized by construction); the
+    // corpus-side joins stay hint-free like the others
+    def assertOneBoundedHint(df: org.apache.spark.sql.DataFrame,
+                             name: String): Unit = {
+      val hints = df.queryExecution.optimizedPlan
+        .collect { case j: Join => j.hint }
+        .filter(h => h.leftHint.nonEmpty || h.rightHint.nonEmpty)
+      assert(hints.size === 1,
+        s"$name must broadcast exactly its bounded side: $hints")
+    }
+    // the nCells-bounded centroid table
+    assertOneBoundedHint(Similarity.semanticDedupPairs(
+      Similarity.corpusWithNearDupVecs(embeddings)), "dedup_semantic")
+    // the fixed eval-benchmark shingle set (static size estimates under a
+    // Generate once chose to build the CORPUS side — pinned explicitly)
+    assertOneBoundedHint(Curation.decontaminate(documents,
       documents.where(col("doc_id") % 97 === 0)), "decontaminate")
-    // semantic dedup is allowed EXACTLY ONE broadcast hint: the
-    // nCells-bounded centroid table (a dimension table, not per-doc data);
-    // its verify join must stay hint-free like the others
-    val sd = Similarity.semanticDedupPairs(
-      Similarity.corpusWithNearDupVecs(embeddings))
-    val sdHints = sd.queryExecution.optimizedPlan
-      .collect { case j: Join => j.hint }
-      .filter(h => h.leftHint.nonEmpty || h.rightHint.nonEmpty)
-    assert(sdHints.size === 1,
-      s"dedup_semantic must broadcast only the centroid table: $sdHints")
   }
 
   test("lshParams: corpus-sized tables, recall-solved table count") {

@@ -60,11 +60,15 @@ object Bench {
       if (s == 42L) System.err.println("")  // defeat dead-code elimination
     }
 
-    // JIT/IO warmup on the flagship pass (not counted)
-    force("validate_verdicts")
-
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    // JIT/IO warmup (not counted) on the flagship pass — or, in a filtered
+    // profiling run, on the first selected query (an unrelated warmup would
+    // pollute focused timings). try: a warmup failure must not sink the
+    // whole bench — the per-round loop records real failures per query.
+    val warm = if (only.isEmpty) Some("validate_verdicts") else names.headOption
+    warm.foreach(n => try force(n) catch { case _: Throwable => () })
     // reps are INTERLEAVED round-robin (all queries once, then again):
     // shared-host noise windows last minutes — back-to-back reps of one
     // query all land inside a bad window, while interleaved rounds give
@@ -97,7 +101,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    val cal = calib.map(c => f"$c%.3f").mkString("[", ",", "]")
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // would emit comma decimals (and silently corrupt the JSON) on
+    // comma-decimal-locale hosts
+    val cal = calib.map(c => String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(c))).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":$docsPerSec,"calib_sec":$cal}""")
     spark.stop()
   }

@@ -898,12 +898,19 @@ object SparkEntry {
           |FROM ds JOIN ev USING (s)
           |GROUP BY doc_id, n_sh""".stripMargin,
       // oracle: DuckDB's NATIVE ASOF JOIN — a fully independent
-      // implementation of the same inclusive (<=) as-of semantics
+      // implementation of the same inclusive (<=) as-of semantics. The
+      // right side is pre-reduced to one row per (user, ts) keeping the
+      // max click_id BEFORE the ASOF: among equal right timestamps our
+      // sweep deterministically picks the max-tiebreak row, while DuckDB's
+      // ASOF leaves the pick unspecified — the reduction makes both
+      // semantics identical without depending on tie-free fixtures
       "join_asof" ->
         """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
           |           FROM events WHERE event_type = 'purchase'),
-          |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
-          |      FROM events WHERE event_type = 'click')
+          |c AS (SELECT user_id, click_ts, max(click_id) AS click_id
+          |      FROM (SELECT user_id, event_id AS click_id, ts AS click_ts
+          |            FROM events WHERE event_type = 'click')
+          |      GROUP BY user_id, click_ts)
           |SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts,
           |  CAST(date_diff('second', click_ts, purchase_ts) AS BIGINT) AS gap_s
           |FROM p ASOF LEFT JOIN c

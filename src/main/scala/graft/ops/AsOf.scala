@@ -25,7 +25,11 @@ object AsOf {
 
   /** Left rows keep all their columns; the matched right row's columns
     * arrive nested as a struct column `asof` (NULL when no right row
-    * precedes the left row — left-join semantics). */
+    * precedes the left row — left-join semantics). Among right rows with
+    * EQUAL timestamps the max-`rightTiebreak` row wins, deterministically —
+    * engines whose as-of leaves equal-timestamp picks unspecified (e.g.
+    * DuckDB ASOF) agree only after reducing the right side to one row per
+    * (key, ts), which is how the oracle is phrased. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightTiebreak: Option[String] = None): DataFrame = {

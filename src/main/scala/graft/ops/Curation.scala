@@ -121,18 +121,42 @@ object Curation {
   def qualityClassifier(documents: DataFrame): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
-    val q = TextAnalysis.quality(documents)
-    val g = TextAnalysis.gopherQuality(documents)
-      .select(col("doc_id"), col("frac_alpha"), col("frac_numeric"),
-        col("max_tok_len"), col("gopher_ok"))
-    // weak label: the Gopher composite gate (label-balanced on this corpus,
+    // ALL features + the weak label from ONE let-bound tokenization in ONE
+    // projection (a quality ⋈ gopherQuality join on doc_id would tokenize
+    // the corpus twice and add two full-corpus shuffles for features that
+    // are all row-local) — the whole pipeline below the driver-side fit is
+    // a single scan-parallel pass with no shuffle.
+    // Weak label: the Gopher composite gate (label-balanced on this corpus,
     // where quality_ok is degenerate-positive); the LR learns a smooth
-    // score from the raw ratios
-    val feat = q.join(g, "doc_id")
-      .select(col("doc_id"), col("gopher_ok").cast("double").as("label"),
-        col("n_tokens").cast("double"), col("avg_token_len"),
-        col("stop_ratio"), col("punct_ratio"), col("frac_alpha"),
-        col("frac_numeric"), col("max_tok_len").cast("double"))
+    // score from the raw ratios.
+    val f = graft.util.Exprs.withLet(TextAnalysis.tokens(col("text"))) { t =>
+      val nTok = size(t)
+      val nAlpha = size(filter(t, w => w.rlike("[A-Za-z]")))
+      val tokChars = aggregate(t, lit(0), (acc, w) => acc + length(w))
+      struct(
+        nTok.cast("double").as("n_tokens"),
+        (tokChars.cast("double") / nTok).as("avg_token_len"),
+        (size(filter(t, w => w.isin(TextAnalysis.allStop.map(lit): _*)))
+          .cast("double") / nTok).as("stop_ratio"),
+        (nAlpha.cast("double") / nTok).as("frac_alpha"),
+        (size(filter(t, w => w.rlike("^[0-9]+$"))).cast("double") / nTok)
+          .as("frac_numeric"),
+        array_max(transform(t, w => length(w))).cast("double")
+          .as("max_tok_len"),
+        // the Gopher composite gate (identical to gopherQuality.gopher_ok)
+        (nTok.between(20, 100000) &&
+          (tokChars.cast("double") / nTok).between(2.0, 12.0) &&
+          nAlpha * 5 >= nTok * 4).cast("double").as("label"))
+    }
+    val feat = documents
+      .select(col("doc_id"),
+        ((length(col("text")) - length(translate(col("text"), ".,", "")))
+          .cast("double") / length(col("text"))).as("punct_ratio"),
+        f.as("f"))
+      .where(col("f.n_tokens") > 0)
+      .select(col("doc_id"), col("f.label").as("label"), col("f.n_tokens"),
+        col("f.avg_token_len"), col("f.stop_ratio"), col("punct_ratio"),
+        col("f.frac_alpha"), col("f.frac_numeric"), col("f.max_tok_len"))
     val assembled = new VectorAssembler()
       .setInputCols(Array("n_tokens", "avg_token_len", "stop_ratio",
         "punct_ratio", "frac_alpha", "frac_numeric", "max_tok_len"))

@@ -293,7 +293,7 @@ object Similarity {
     * density^2, so raise k or sub-bucket hot cells via LSH inside the cell
     * before lowering the cap). */
   def semanticDedupPairs(corpus: DataFrame, threshold: Double = 0.9,
-                         nCells: Int = 16): DataFrame = {
+                         nCells: Int = 16, memberCap: Int = 1000): DataFrame = {
     val e = corpus.select(col("vec_id"), col("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val centroids = e.where(col("vec_id") < nCells)
@@ -302,7 +302,20 @@ object Similarity {
     val assigned = nearestCells(e, centroids, "vec_id", 1)
     val candidates = assigned
       .groupBy(col("cell_id"))
-      .agg(graft.functions.BoundedCollect.longs(1000)(col("vec_id")).as("ids"))
+      .agg(graft.functions.BoundedCollect.longs(memberCap)(col("vec_id"))
+        .as("ids"))
+      // LOUD on cap: unlike the LSH paths (whose lshParams size buckets so
+      // the cap never truncates), nCells is a fixed parameter here — a cell
+      // that FILLS the membership buffer means silently lost pairs vs the
+      // exhaustive within-cell contract, so fail with instructions instead.
+      // assert_true lives in a Filter (coalesce(null-on-success, true)), so
+      // column pruning cannot drop it.
+      .where(coalesce(
+        assert_true(size(col("ids")) < memberCap,
+          lit(s"semanticDedupPairs: a cell filled the $memberCap-member " +
+            "buffer — raise nCells (or sub-bucket hot cells) so cell " +
+            "density stays below the cap")),
+        lit(true)))
       .where(size(col("ids")) > 1)
       .select(col("cell_id"),
         explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))

@@ -41,7 +41,7 @@ object TextAnalysis {
   }
 
   /** All-language stopword union for the quality ratio. */
-  private val allStop: Seq[String] = stopwords.flatMap(_._2).distinct
+  private[ops] val allStop: Seq[String] = stopwords.flatMap(_._2).distinct
 
   /** Quality features per doc. Ratios are single divisions of exact integer
     * counts -> bitwise-reproducible across engines. */

@@ -165,22 +165,41 @@ class OpsSpec extends SparkSpec {
       "dedup_embedding_cosine")
     // two ops are allowed EXACTLY ONE broadcast hint, on their bounded
     // NON-corpus side (dimension-table-sized by construction); the
-    // corpus-side joins stay hint-free like the others
+    // corpus-side joins stay hint-free like the others. The hinted CHILD is
+    // checked too — a count-only assertion would stay green if the hint
+    // migrated to the corpus side (the exact regression this guards).
     def assertOneBoundedHint(df: org.apache.spark.sql.DataFrame,
-                             name: String): Unit = {
-      val hints = df.queryExecution.optimizedPlan
-        .collect { case j: Join => j.hint }
-        .filter(h => h.leftHint.nonEmpty || h.rightHint.nonEmpty)
-      assert(hints.size === 1,
-        s"$name must broadcast exactly its bounded side: $hints")
+                             name: String, boundedMark: String): Unit = {
+      val hinted = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty =>
+          if (j.hint.leftHint.nonEmpty) j.left else j.right
+      }
+      assert(hinted.size === 1,
+        s"$name must broadcast exactly its bounded side")
+      assert(hinted.head.toString.contains(boundedMark),
+        s"$name: the hint sits on a subtree without '$boundedMark' — " +
+          s"likely the corpus side:\n${hinted.head}")
     }
-    // the nCells-bounded centroid table
+    // the nCells-bounded centroid table (vec_id < 16 seed filter)
     assertOneBoundedHint(Similarity.semanticDedupPairs(
-      Similarity.corpusWithNearDupVecs(embeddings)), "dedup_semantic")
+      Similarity.corpusWithNearDupVecs(embeddings)), "dedup_semantic", "< 16")
     // the fixed eval-benchmark shingle set (static size estimates under a
     // Generate once chose to build the CORPUS side — pinned explicitly)
     assertOneBoundedHint(Curation.decontaminate(documents,
-      documents.where(col("doc_id") % 97 === 0)), "decontaminate")
+      documents.where(col("doc_id") % 97 === 0)), "decontaminate", "% 97")
+  }
+
+  test("semantic dedup fails loudly when a cell fills the membership cap") {
+    val corpus = Similarity.corpusWithNearDupVecs(embeddings)
+    val e = intercept[Exception] {
+      // one cell, cap far below the corpus size -> must raise, not
+      // silently drop pairs
+      Similarity.semanticDedupPairs(corpus, nCells = 1, memberCap = 8)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("raise nCells")), s"got: $e")
   }
 
   test("lshParams: corpus-sized tables, recall-solved table count") {
@@ -456,7 +475,10 @@ class OpsSpec extends SparkSpec {
       (1L, 13L, "purchase", ts(5)),    // -> no prior click (NULL)
       (2L, 20L, "click", ts(30)), (2L, 21L, "purchase", ts(30)),
       // simultaneous click matches (inclusive <=)
-      (3L, 31L, "purchase", ts(99))    // user with no clicks at all
+      (3L, 31L, "purchase", ts(99)),   // user with no clicks at all
+      // two clicks at the SAME timestamp: the max-tiebreak (click_id) wins
+      (4L, 40L, "click", ts(40)), (4L, 41L, "click", ts(40)),
+      (4L, 42L, "purchase", ts(45))
     ).toDF("user_id", "event_id", "event_type", "ts")
     val got = AsOf.purchaseAttribution(events)
       .select("purchase_id", "click_id", "gap_s")
@@ -466,8 +488,9 @@ class OpsSpec extends SparkSpec {
     assert(got(13L) == ((None, None)))
     assert(got(21L) == ((Some(20L), Some(0L))))
     assert(got(31L) == ((None, None)))
+    assert(got(42L) == ((Some(41L), Some(5L))))  // deterministic tie pick
     // one output row per purchase, no fan-out
-    assert(got.size == 4)
+    assert(got.size == 5)
 
     // plan shape: the as-of is a union + ONE keyed shuffle + window sweep —
     // no Join node anywhere (an inequality join would nested-loop at scale)

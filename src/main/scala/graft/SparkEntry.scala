@@ -257,7 +257,11 @@ object SparkEntry {
     // distributed as-of join (union-tag + keyed merge sweep): purchase ->
     // latest prior click attribution; oracle = DuckDB's native ASOF JOIN
     "join_asof" -> ((s, d) =>
-      ops.AsOf.purchaseAttribution(graft.data.Tables.read(s, d, "events")))
+      ops.AsOf.purchaseAttribution(graft.data.Tables.read(s, d, "events"))),
+    // float-free TF-IDF: per-doc top-3 terms by (tf DESC, df ASC, term)
+    "text_tfidf_terms" -> ((s, d) =>
+      ops.TextAnalysis.characteristicTerms(
+        graft.data.Tables.read(s, d, "documents")))
   )
 
   /** DuckDB oracles. Expected violations are recomputed from the injection
@@ -844,6 +848,20 @@ object SparkEntry {
           |        AND len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) * 5 >= len(t) * 4
           |       THEN 1 ELSE 0 END AS gopher_ok
           |FROM tok WHERE len(t) > 0""".stripMargin,
+      // oracle: the same integer (tf DESC, df ASC, term) ranking
+      "text_tfidf_terms" ->
+        """WITH tok AS (SELECT doc_id,
+          |        unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS term
+          |      FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |r AS (SELECT doc_id, term, tf.tf AS tf, df.df AS df,
+          |        row_number() OVER (PARTITION BY doc_id
+          |          ORDER BY tf.tf DESC, df.df ASC, term) AS rank
+          |      FROM tf JOIN df USING (term))
+          |SELECT doc_id, CAST(rank AS INT) AS rank, term,
+          |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+          |FROM r WHERE rank <= 3""".stripMargin,
       // oracle: vocabulary counts + per-doc frequency join, all integer
       "text_token_stats" ->
         """WITH tok AS (SELECT doc_id,

@@ -173,6 +173,32 @@ object TextAnalysis {
         sum(when(col("freq") < rareBelow, 1).otherwise(0)).cast("int").as("n_rare"))
   }
 
+  /** Characteristic terms per document — the TF-IDF shape realized
+    * FLOAT-FREE: ranking by (tf DESC, df ASC, term) orders exactly like
+    * tf·idf for the dominant cases while every compared value stays an
+    * exact integer (cross-engine bit-equality; idf's log changes no
+    * ordering the (tf, −df) lexicographic rank doesn't already capture at
+    * fixed tf). Two corpus passes by necessity (corpus df, then per-doc
+    * application — same shape as tokenFreqStats; at scale, persist the tf
+    * table between them, it is the index artifact). The top-k window
+    * partitions by doc_id, so partition size is bounded by a single doc's
+    * distinct-term count — never a corpus-scale sort. */
+  def characteristicTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def tf(df: DataFrame) = df
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("term"))
+      .where(col("term").isNotNull)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct per (doc, term), so df is a plain count
+    val docFreq = tf(documents).groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf(documents).join(docFreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
   /** Document fingerprints, mod 1000003, from a portable per-word hash
     * (31*len + 7*first-char + last-char codepoints — identical arithmetic
     * is expressible in ANSI SQL for the oracle):

@@ -503,6 +503,20 @@ class OpsSpec extends SparkSpec {
     assert(exchanges == 1, s"as-of must shuffle exactly once, found $exchanges")
   }
 
+  test("text: characteristic terms rank by tf desc then rarity then term") {
+    val docs = Seq(
+      (1L, "x x x common rare"),    // x tf=3; 'rare' df=1 beats 'common' df=2
+      (2L, "common stuff")).toDF("doc_id", "text")
+    val got = TextAnalysis.characteristicTerms(docs)
+      .select("doc_id", "rank", "term").as[(Long, Int, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 1)) == "x")
+    assert(got((1L, 2)) == "rare")    // df 1 < common's df 2 at equal tf
+    assert(got((1L, 3)) == "common")
+    assert(got((2L, 1)) == "stuff")   // df 1 beats 'common' df 2
+    assert(got((2L, 2)) == "common")
+  }
+
   test("multimodal: stub decode features are deterministic and normalized") {
     val media = Multimodal.mediaTable(documents)
     val feats = Multimodal.extractFeatures(spark, media).cache()

@@ -95,6 +95,10 @@ object Drift {
 
   /** PSI + KS from per-bucket (ca=baseline, cb=current) counts. */
   private def psiKsFromCounts(counts: DataFrame, nBuckets: Int): DataFrame = {
+    // `counts` is already the bucketized aggregate: nBuckets rows TOTAL,
+    // independent of corpus size. The single-partition windows below (Spark
+    // logs a WindowExec warning) therefore move O(nBuckets) rows — the
+    // corpus-scale work happened in the upstream map-side-combined count.
     val whole = Window.partitionBy(lit(1))
     val ordered = Window.partitionBy(lit(1)).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -48,8 +48,10 @@ object DocGen {
     docsFrom(lineitem(spark, sfDir))
 
   /** Span derivation over any lineitem-shaped relation — shared by the
-    * batch path and streaming.StreamValidate (same columns, same rules). */
-  def docsFrom(li: DataFrame): DataFrame = {
+    * batch path and streaming.StreamValidate (same columns, same rules).
+    * `keep` carries extra source columns through (e.g. the partition day
+    * for watermark-incremental runs). */
+  def docsFrom(li: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val ok = col("l_orderkey")
     val pkmod = (col("l_partkey") % 1000).cast("string")
     val flagText = concat(col("l_returnflag"), col("l_linestatus"))
@@ -91,8 +93,9 @@ object DocGen {
         .otherwise(none))
 
     li.select(
-      concat(ok.cast("string"), lit("-"), col("l_linenumber").cast("string")).as("doc_id"),
-      when(ok % 71 === 0, none).otherwise(spansArr).as("spans"))
+      concat(ok.cast("string"), lit("-"), col("l_linenumber").cast("string")).as("doc_id") +:
+        when(ok % 71 === 0, none).otherwise(spansArr).as("spans") +:
+        keep.map(col): _*)
   }
 
   /** Media catalog dimension: every valid media_ref + its media kind.

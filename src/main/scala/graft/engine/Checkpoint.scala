@@ -134,5 +134,57 @@ object Checkpoint {
   /** Read back the stitched outputs of a (possibly multi-attempt) run. */
   def verdicts(spark: SparkSession, outDir: String): DataFrame =
     TableIO.read(spark, s"$outDir/verdicts")
+
+  // ---- partition-watermark incremental validation --------------------------
+
+  def watermarkPath(outDir: String) = s"$outDir/watermark"
+
+  private def storedWatermark(spark: SparkSession,
+                              outDir: String): Option[java.sql.Date] = {
+    val p = new org.apache.hadoop.fs.Path(watermarkPath(outDir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Option(TableIO.read(spark, watermarkPath(outDir))
+      .agg(max("watermark")).head().getDate(0))
+  }
+
+  /** The OTHER resume axis the north rule names (alongside bucket lineage):
+    * partition-watermark incremental validation. Only partitions (shipdate
+    * days) STRICTLY newer than the stored watermark are validated; verdicts
+    * land partitioned by day with idempotent per-day dynamic overwrite
+    * (re-running a day replaces exactly that day), and the watermark then
+    * advances to the newest day processed. On a date-partitioned production
+    * table the `day > watermark` predicate prunes at the partition level,
+    * so a periodic incremental run scans exactly the newly arrived
+    * partitions — validation cost tracks the DELTA, not the table.
+    *
+    * `availableUpTo` simulates partial arrival (tests/backfills): data
+    * beyond it is treated as not yet landed. Returns the days processed. */
+  def runIncremental(spark: SparkSession, sfDir: String, outDir: String,
+                     runId: String = "r1",
+                     availableUpTo: Option[java.sql.Date] = None): Seq[java.sql.Date] = {
+    import spark.implicits._
+    val catalog = DocGen.mediaCatalogMap(spark, sfDir)
+    val wm = storedWatermark(spark, outDir)
+    val li0 = DocGen.lineitem(spark, sfDir)
+      .withColumn("day", to_date(col("l_shipdate")))
+    val li1 = availableUpTo.map(d => li0.where(col("day") <= lit(d))).getOrElse(li0)
+    val li = wm.map(d => li1.where(col("day") > lit(d))).getOrElse(li1)
+    // the day list comes from a column-pruned scan of the delta (cheap),
+    // NOT from re-executing the validated output a second time
+    val days = li.select("day").distinct()
+      .as[java.sql.Date].collect().toSeq.sorted
+    if (days.nonEmpty) {
+      val docs = DocGen.docsFrom(li, keep = Seq("day"))
+      val out = Validate.withViolations(docs, catalog)
+        .select(col("doc_id") +: col("day") +:
+          graft.rules.RuleSet.verdictCols(col("violations")): _*)
+      TableIO.overwritePartitions(out, s"$outDir/verdicts_daily", Seq("day"))
+      TableIO.append(
+        Seq((runId, days.last)).toDF("run_id", "watermark"),
+        watermarkPath(outDir))
+    }
+    days
+  }
 }
 

@@ -46,6 +46,37 @@ class CheckpointSpec extends SparkSpec {
     assert(Checkpoint.run(spark, sf, dir, nBuckets = 4).isEmpty)
   }
 
+  test("partition-watermark incremental run validates only newly arrived days") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wm").toString
+    val li = DocGen.lineitem(spark, sf).withColumn("day", to_date(col("l_shipdate")))
+    val allDays = li.select("day").distinct()
+      .as[java.sql.Date].collect().sorted
+    assert(allDays.length > 2, "fixture needs multiple shipdate days")
+    val cutoff = allDays(allDays.length / 2)
+
+    // run 1: only data up to the cutoff has "arrived"
+    val d1 = Checkpoint.runIncremental(spark, sf, dir,
+      availableUpTo = Some(cutoff))
+    assert(d1.nonEmpty && d1.last == cutoff && d1.forall(_.compareTo(cutoff) <= 0))
+
+    // run 2: the rest lands; ONLY days after the watermark are processed
+    val d2 = Checkpoint.runIncremental(spark, sf, dir, runId = "r2")
+    assert(d2.nonEmpty && d2.forall(_.compareTo(cutoff) > 0))
+    assert((d1 ++ d2).toSet == allDays.toSet)
+
+    // stitched incremental output == one-shot full validation
+    val catalog = DocGen.mediaCatalogMap(spark, sf)
+    val incr = spark.read.parquet(s"$dir/verdicts_daily").drop("day")
+    val full = Validate.verdicts(DocGen.docs(spark, sf), catalog)
+      .select(incr.columns.map(col): _*)
+    assert(incr.count() == full.count())
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+
+    // run 3: nothing new -> no-op, watermark unchanged
+    assert(Checkpoint.runIncremental(spark, sf, dir, runId = "r3").isEmpty)
+  }
+
   test("resume under a different bucketing or input fails fast") {
     val dir = Files.createTempDirectory("graft-ckpt3").toString
     assert(Checkpoint.run(spark, sf, dir, nBuckets = 4).size == 4)

@@ -447,6 +447,17 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got == exact)
   }
 
+  test("curation: classifier weak label equals the gopher gate exactly") {
+    // the label is a FUSED copy of gopherQuality's composite gate (one
+    // projection, no join) — this pins the two formulations together so an
+    // edit to one cannot silently drift the other
+    val fused = Curation.qualityClassifier(documents)
+      .select(col("doc_id"), col("weak_label"))
+    val source = TextAnalysis.gopherQuality(documents)
+      .select(col("doc_id"), col("gopher_ok").as("weak_label"))
+    assert(fused.exceptAll(source).isEmpty && source.exceptAll(fused).isEmpty)
+  }
+
   test("curation: quality classifier recovers the weak labels out of sample") {
     val got = Curation.qualityClassifier(documents).cache()
     // held-out docs only (training used doc_id%3=0)

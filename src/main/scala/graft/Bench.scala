@@ -37,9 +37,21 @@ object Bench {
     // compilation + JIT warmup (~0.3-0.5 s/query) and shared-host noise —
     // the min measures the engine, not the compiler or the neighbors
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    // optional comma-separated query filter for focused profiling runs
+    // optional comma-separated query filter for focused profiling runs —
+    // validated against the registry: a misspelled name must abort loudly,
+    // not silently produce an empty run with value 0.0
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] unknown SPARK_GRAFT_BENCH_ONLY names: ${unknown.toSeq.sorted.mkString(", ")}\n" +
+            s"[bench] registered: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -77,19 +89,54 @@ object Bench {
     // steady-state 2.5 s for the same query during one noise window)
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
+    // per-(query, rep) calibration probes: contended host windows last
+    // minutes, so a probe taken right before each query timing pins WHICH
+    // timings a noise window inflated — per-query attribution instead of
+    // the old per-round guess
+    val calibQ = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
     val calib = (1 to reps).map { r =>
       val c = calibrate()
       names.foreach { name =>
         // per-rep try: a transient failure must not discard other reps'
         // timings; -1.0 only when every rep failed
         try {
+          calibQ(name) = calibrate() :: calibQ(name)
           val t = force(name)
           System.err.println(f"[bench-rep] $name round$r $t%.2f s")
           samples(name) = t :: samples(name)
-        } catch { case _: Throwable => () }
+        } catch { case e: Throwable =>
+          // swallowing a rep keeps the suite going, but the cause must be
+          // visible — a -1.0 with no trace is undebuggable
+          System.err.println(s"[bench-rep] $name round$r FAILED: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
       }
       c
     }
+    // per-stage trace of the minhash pipeline (banding -> candidate pairs
+    // -> full verify): cumulative wall times so a contended window is
+    // attributable to a stage, not just to the query. min over 2 reps,
+    // interleaved with the same calibration probe.
+    val stages: Option[String] =
+      if (!names.contains("dedup_minhash_lsh")) None
+      else try {
+        val corpus = ops.Dedup.corpusWithNearDups(
+          graft.data.Tables.read(spark, sfDir, "documents"))
+        def stage(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+          val pairs = (1 to 2).map { _ =>
+            (calibrate(),
+              time(df.write.format("noop").mode("overwrite").save()))
+          }
+          (pairs.map(_._2).min, pairs.map(_._1).min)
+        }
+        val (bT, bC) = stage(ops.Dedup.minhashBanded(corpus))
+        val (cT, cC) = stage(
+          ops.Dedup.minhashCandidatePairs(ops.Dedup.minhashBanded(corpus)))
+        def f(d: Double) =
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+        Some(s"""{"dedup_minhash_lsh":{"cum_banding":${f(bT)},"cum_candidates":${f(cT)},"full":${f(samples("dedup_minhash_lsh").min)},"stage_calib":[${f(bC)},${f(cC)}]}}""")
+      } catch { case _: Throwable => None }
     val results = names.map { name =>
       val sec = if (samples(name).isEmpty) -1.0 else samples(name).min
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
@@ -104,9 +151,17 @@ object Bench {
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // would emit comma decimals (and silently corrupt the JSON) on
     // comma-decimal-locale hosts
-    val cal = calib.map(c => String.format(java.util.Locale.ROOT, "%.3f",
-      Double.box(c))).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":$docsPerSec,"calib_sec":$cal}""")
+    def f3(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val cal = calib.map(f3).mkString("[", ",", "]")
+    // chronological per-rep samples + per-(query, rep) calib probes: a
+    // reported minimum is trustworthy iff its rep's probe sat at the
+    // single-thread floor (~0.13 s on this box)
+    def seriesJson(m: collection.Map[String, List[Double]]): String =
+      names.map(n => "\"" + n + "\":" +
+        m(n).reverse.map(f3).mkString("[", ",", "]")).mkString("{", ",", "}")
+    val stagesJson = stages.map(s => s""","stages":$s""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":$docsPerSec,"calib_sec":$cal,"samples":${seriesJson(samples)},"calib_q":${seriesJson(calibQ)}$stagesJson}""")
     spark.stop()
   }
 }

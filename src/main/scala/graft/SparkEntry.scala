@@ -154,6 +154,12 @@ object SparkEntry {
       ops.Dedup.dupClusters(
         ops.Dedup.ngramJaccardPairs(
           ops.Dedup.corpusWithNearDups(graft.data.Tables.read(s, d, "documents"))))),
+    // cross-document line-level dedup (Dolma/CCNet boilerplate stripping):
+    // lines in >= 5 distinct docs removed, per-doc order preserved
+    "dedup_lines" -> ((s, d) =>
+      ops.Dedup.lineDedup(
+        ops.Dedup.corpusWithBoilerplateLines(
+          graft.data.Tables.read(s, d, "documents")))),
     // ---- training-data pipeline: similarity search ------------------------
     "sim_topk_bruteforce" -> ((s, d) =>
       ops.Similarity.cosineTopK(graft.data.Tables.read(s, d, "embeddings"))),
@@ -178,6 +184,15 @@ object SparkEntry {
       ops.Similarity.ivfBuildIndex(emb, path)
       ops.Similarity.ivfProbeIndex(s, path, emb)
     }),
+    // the production composition: IVF cells OF SQ8 codes — persisted
+    // cell-partitioned 8-bit index + sidecar quantization metadata, probed
+    // with static partition pruning and asymmetric re-rank
+    "sim_ann_ivf_sq8" -> ((s, d) => {
+      val emb = graft.data.Tables.read(s, d, "embeddings")
+      val path = s"/tmp/graft_ivf_sq8_${Integer.toHexString(d.hashCode)}"
+      ops.Similarity.ivfSq8BuildIndex(emb, path)
+      ops.Similarity.ivfSq8ProbeIndex(s, path, emb)
+    }),
     // (5, 12) pinned: sandbox-validated exactness-gate parameters (the
     // oracle is exhaustive all-pairs, so a single candidate miss fails the
     // hash gate). Production callers omit them -> Similarity.lshParams
@@ -196,6 +211,13 @@ object SparkEntry {
       ops.TextAnalysis.fingerprint(graft.data.Tables.read(s, d, "documents"))),
     "text_tokens_bpe" -> ((s, d) =>
       ops.TextAnalysis.bpeTokens(graft.data.Tables.read(s, d, "documents"))),
+    // TRAINED BPE: distributed merge-loop training on the word-frequency
+    // table + vocabulary-join encode; rows-only (the oracle harness cannot
+    // express an iterated argmax loop in one SQL statement) — the merge
+    // sequence is cross-checked against an independent single-node
+    // reference implementation in BpeSpec
+    "text_tokens_bpe_trained" -> ((s, d) =>
+      ops.Bpe.trainedTokenCounts(graft.data.Tables.read(s, d, "documents"))),
     // corpus-wide heavy hitters (top-k frequent tokens), deterministic
     // tie-break; planned as TakeOrderedAndProject (bounded per-partition
     // heaps, no full sort)
@@ -205,6 +227,12 @@ object SparkEntry {
     // per-doc keep/drop decisions
     "curation_decisions" -> ((s, d) =>
       ops.Curation.decisions(graft.data.Tables.read(s, d, "documents"))),
+    // near-dup-unified triage: minhash-LSH pair graph -> connected-component
+    // keepers composed with the quality gate + language routing into ONE
+    // verdict per doc (the reference's single-triage orchestration,
+    // MTBValidators.scala:650-743 analog for the curation pipeline)
+    "curation_decisions_neardup" -> ((s, d) =>
+      ops.Curation.decisionsNearDup(graft.data.Tables.read(s, d, "documents"))),
     // ---- training-data pipeline: multimodal plumbing ----------------------
     "multimodal_summary" -> ((s, d) =>
       ops.Multimodal.mediaSummary(graft.data.Tables.read(s, d, "documents"))),
@@ -229,10 +257,15 @@ object SparkEntry {
     // Gopher-style structural document filters (row-local ratios)
     "text_gopher" -> ((s, d) =>
       ops.TextAnalysis.gopherQuality(graft.data.Tables.read(s, d, "documents"))),
-    // corpus-frequency doc stats (integer-exact unigram-rarity skeleton):
-    // vocab pass + per-doc token-frequency join/aggregate
-    "text_token_stats" -> ((s, d) =>
-      ops.TextAnalysis.tokenFreqStats(graft.data.Tables.read(s, d, "documents"))),
+    // corpus-frequency doc stats (integer-exact unigram-rarity skeleton),
+    // fed from the PERSISTED (doc_id, term, tf) table: one tokenization job
+    // (the build), every downstream statistic a regroup of the stored
+    // artifact — the amortized-index pattern sim_ann_ivf_index proves
+    "text_token_stats" -> ((s, d) => {
+      val path = tfTablePath(d)
+      ops.TextAnalysis.buildTfTable(graft.data.Tables.read(s, d, "documents"), path)
+      ops.TextAnalysis.tokenFreqStatsFromTf(graft.engine.TableIO.read(s, path))
+    }),
     // PII detection + redaction over the deterministically PII-injected
     // corpus (counts from original text, typed-tag redaction cascade)
     "pii_scrub" -> ((s, d) =>
@@ -258,11 +291,20 @@ object SparkEntry {
     // latest prior click attribution; oracle = DuckDB's native ASOF JOIN
     "join_asof" -> ((s, d) =>
       ops.AsOf.purchaseAttribution(graft.data.Tables.read(s, d, "events"))),
-    // float-free TF-IDF: per-doc top-3 terms by (tf DESC, df ASC, term)
-    "text_tfidf_terms" -> ((s, d) =>
-      ops.TextAnalysis.characteristicTerms(
-        graft.data.Tables.read(s, d, "documents")))
+    // float-free TF-IDF: per-doc top-3 terms by (tf DESC, df ASC, term),
+    // fed from the same persisted tf table as text_token_stats
+    "text_tfidf_terms" -> ((s, d) => {
+      val path = tfTablePath(d)
+      ops.TextAnalysis.buildTfTable(graft.data.Tables.read(s, d, "documents"), path)
+      ops.TextAnalysis.characteristicTermsFromTf(graft.engine.TableIO.read(s, path))
+    })
   )
+
+  /** Per-sf-dir location of the persisted (doc_id, term, tf) index table
+    * (idempotent overwrite: whichever statistics query runs first builds
+    * it; a production pipeline builds it once per corpus snapshot). */
+  private def tfTablePath(sfDir: String): String =
+    s"/tmp/graft_tf_${Integer.toHexString(sfDir.hashCode)}"
 
   /** DuckDB oracles. Expected violations are recomputed from the injection
     * predicates (pure functions of l_orderkey) — an independent derivation
@@ -553,6 +595,30 @@ object SparkEntry {
           |  UNION
           |  SELECT re.doc_id, e.b FROM reach re JOIN e ON re.r = e.a)
           |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin),
+      // oracle: the same boilerplate injection, document frequency over
+      // per-doc distinct lines, and order-preserving reassembly — zipped
+      // unnest gives line positions, list(... ORDER BY pos) restores order
+      "dedup_lines" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, concat_ws(chr(10),
+          |    CASE WHEN doc_id % 7 = 0 THEN 'subscribe to our newsletter' END,
+          |    text,
+          |    CASE WHEN doc_id % 7 = 0 THEN 'copyright 2026 example corp' END,
+          |    CASE WHEN doc_id % 11 = 0 THEN 'home about contact privacy terms' END)
+          |    AS text
+          |  FROM documents),
+          |ln AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+          |ex AS (SELECT doc_id, len(ls) AS n_lines,
+          |        unnest(ls) AS line,
+          |        unnest(generate_series(1, len(ls))) AS pos FROM ln),
+          |hv AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM ex)
+          |       GROUP BY line HAVING count(*) >= 5),
+          |kp AS (SELECT ex.doc_id, ex.n_lines, ex.line, ex.pos
+          |       FROM ex LEFT JOIN hv ON ex.line = hv.line WHERE hv.line IS NULL)
+          |SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+          |  CAST(n_lines - count(*) AS INT) AS n_removed,
+          |  array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean
+          |FROM kp GROUP BY doc_id, n_lines""".stripMargin,
       // oracle: recompute the FNV-1a-64 token hashes and simhash signatures
       // in HUGEINT arithmetic mod 2^64, then exhaustive all-pairs Hamming
       // <= 7 — exact, because 8x8-bit chunk bucketing is pigeonhole-exact
@@ -624,6 +690,45 @@ object SparkEntry {
       // the persisted-index probe is spec-asserted equal to the one-shot
       // IVF (OpsSpec), so the same independent recomputation oracles it
       "sim_ann_ivf_index" -> ivfOracleSql,
+      // oracle: the IVF assignment pipeline (full-precision centroids and
+      // cell ranks, exactly as in ivfOracleSql) composed with the SQ8
+      // train/encode/dequantize arithmetic of the sim_sq8_topk oracle —
+      // candidates scored asymmetrically from their dequantized codes
+      "sim_ann_ivf_sq8" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |en AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM e),
+          |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM en
+          |          WHERE vec_id >= 8 AND vec_id < 24),
+          |d AS (SELECT i, min(x) AS mn, max(x) AS mx
+          |      FROM (SELECT unnest(v) AS x,
+          |                   unnest(generate_series(1, len(v))) AS i
+          |            FROM e WHERE vec_id >= 8)
+          |      GROUP BY i),
+          |dd AS (SELECT list(mn ORDER BY i) AS mns,
+          |              list((mx - mn) / 255.0 ORDER BY i) AS scs FROM d),
+          |ac AS (SELECT p.vec_id, p.v, p.nrm, c.cell_id,
+          |              list_dot_product(p.v, c.cv)/(p.nrm*c.cn) AS cscore
+          |       FROM en p CROSS JOIN cents c),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          |                     ORDER BY cscore DESC, cell_id) AS crank FROM ac),
+          |q AS (SELECT vec_id AS q_vec_id, v AS qv, nrm AS qn, cell_id
+          |      FROM ranked WHERE vec_id < 8 AND crank <= 4),
+          |cand0 AS (SELECT vec_id, v, cell_id FROM ranked
+          |          WHERE vec_id >= 8 AND crank = 1),
+          |cd AS (SELECT vec_id, cell_id,
+          |         list_transform(generate_series(1, len(v)), i ->
+          |           dd.mns[i] + (CASE WHEN dd.scs[i] = 0 THEN 0
+          |             ELSE least(255, greatest(0, CAST(round((v[i] - dd.mns[i]) / dd.scs[i]) AS INT))) END)
+          |             * dd.scs[i]) AS dv
+          |       FROM cand0, dd),
+          |cn AS (SELECT vec_id, cell_id, dv, sqrt(list_dot_product(dv, dv)) AS n FROM cd),
+          |scored AS (SELECT q.q_vec_id, cn.vec_id AS n_vec_id,
+          |                  max(list_dot_product(q.qv, cn.dv)/(q.qn*cn.n)) AS score
+          |           FROM cn JOIN q USING (cell_id) GROUP BY 1, 2),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+          |                ORDER BY score DESC, n_vec_id) AS rank FROM scored)
+          |SELECT q_vec_id, CAST(rank AS INT) AS rank, n_vec_id, round(score, 6) AS score_r
+          |FROM r WHERE rank <= 5""".stripMargin,
       // oracle: identical SQ8 train/encode/dequantize/score arithmetic —
       // exact min/max, (mx-mn)/255 scales, half-up rounding on non-negative
       // values, sequential-fold dots
@@ -664,21 +769,13 @@ object SparkEntry {
           |       round(score, 6) AS score_r
           |FROM r WHERE rank <= 5""".stripMargin,
       "text_langid" -> {
-        val scores = graft.ops.TextAnalysis.stopwords.map { case (l, ws) =>
-          val set = ws.map(w => s"'$w'").mkString(", ")
-          s"CAST(len(list_filter(t, w -> w IN ($set))) AS INT) AS s_$l"
-        }.mkString(",\n  ")
         val langs = graft.ops.TextAnalysis.stopwords.map(_._1)
-        val cases = langs.init.map { l =>
-          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-          s"WHEN $conds THEN '$l'"
-        }.mkString("\n  ")
         s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS t FROM documents),
            |s AS (SELECT doc_id,
-           |  $scores
+           |  $langScoresSql
            |FROM tok)
            |SELECT doc_id,
-           |  CASE $cases ELSE '${langs.last}' END AS pred_lang,
+           |  CASE $langCasesSql ELSE '$langLastSql' END AS pred_lang,
            |  ${langs.map(l => s"s_$l").mkString(", ")}
            |FROM s""".stripMargin
       },
@@ -716,16 +813,7 @@ object SparkEntry {
           |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
       // oracle: the same dedup-keeper + quality-gate + langid-argmax
       // composition recomputed from first principles
-      "curation_decisions" -> {
-        val scores = graft.ops.TextAnalysis.stopwords.map { case (l, ws) =>
-          val set = ws.map(w => s"'$w'").mkString(", ")
-          s"CAST(len(list_filter(t, w -> w IN ($set))) AS INT) AS s_$l"
-        }.mkString(",\n  ")
-        val langs = graft.ops.TextAnalysis.stopwords.map(_._1)
-        val cases = langs.init.map { l =>
-          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-          s"WHEN $conds THEN '$l'"
-        }.mkString("\n  ")
+      "curation_decisions" ->
         s"""WITH corpus AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id%50=0),
@@ -735,19 +823,52 @@ object SparkEntry {
            |  CASE WHEN len(t) BETWEEN 5 AND 10000
            |        AND CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)/len(t) < 20.0
            |       THEN 1 ELSE 0 END AS quality_ok,
-           |  $scores
+           |  $langScoresSql
            |FROM tok),
            |k AS (SELECT doc_id,
            |        doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS dup_keep
            |      FROM corpus)
            |SELECT q.doc_id,
-           |  CASE $cases ELSE '${langs.last}' END AS pred_lang,
+           |  CASE $langCasesSql ELSE '$langLastSql' END AS pred_lang,
            |  quality_ok, dup_keep,
            |  CASE WHEN NOT dup_keep THEN 'drop_dup'
            |       WHEN quality_ok = 0 THEN 'drop_quality'
            |       ELSE 'keep' END AS decision
-           |FROM q JOIN k ON q.doc_id = k.doc_id""".stripMargin
-      },
+           |FROM q JOIN k ON q.doc_id = k.doc_id""".stripMargin,
+      // oracle: the exhaustive corpus-wide exact-jaccard pair graph (the
+      // dedup_minhash_lsh oracle's graph), cluster keepers via a recursive
+      // transitive-closure CTE (the dedup_clusters oracle's shape), and the
+      // same quality/langid derivations — all composed into one verdict per
+      // doc, independently of the Spark plan
+      "curation_decisions_neardup" ->
+        (nearDupShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE 10 * len(list_intersect(a.sh, b.sh))
+           |         >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+           |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+           |n AS (SELECT DISTINCT a AS doc_id FROM e),
+           |reach(doc_id, r) AS (
+           |  SELECT doc_id, doc_id FROM n
+           |  UNION
+           |  SELECT re.doc_id, e.b FROM reach re JOIN e ON re.r = e.a),
+           |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+           |q AS (SELECT doc_id,
+           |  CASE WHEN len(t) BETWEEN 5 AND 10000
+           |        AND CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)/len(t) < 20.0
+           |       THEN 1 ELSE 0 END AS quality_ok,
+           |  $langScoresSql
+           |FROM tok)
+           |SELECT q.doc_id,
+           |  CASE $langCasesSql ELSE '$langLastSql' END AS pred_lang,
+           |  quality_ok,
+           |  coalesce(cl.cluster_id = q.doc_id, TRUE) AS dup_keep,
+           |  CASE WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> q.doc_id
+           |         THEN 'drop_neardup'
+           |       WHEN quality_ok = 0 THEN 'drop_quality'
+           |       ELSE 'keep' END AS decision
+           |FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id""".stripMargin),
       "text_fingerprint" ->
         """WITH tok AS (SELECT doc_id,
           |  list_filter(string_split(text, ' '), w -> len(w) > 0) AS t FROM documents)
@@ -962,6 +1083,22 @@ object SparkEntry {
           |WHERE list_dot_product(ea.v, eb.v)/(ea.nrm*eb.nrm) >= 0.9""".stripMargin
     )
   }
+
+  /** Shared oracle fragments for the stopword-argmax language id (used by
+    * text_langid and both curation decision tables). */
+  private def langScoresSql: String =
+    graft.ops.TextAnalysis.stopwords.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(t, w -> w IN ($set))) AS INT) AS s_$l"
+    }.mkString(",\n  ")
+  private def langCasesSql: String = {
+    val langs = graft.ops.TextAnalysis.stopwords.map(_._1)
+    langs.init.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n  ")
+  }
+  private def langLastSql: String = graft.ops.TextAnalysis.stopwords.last._1
 
   /** DuckDB twin of Sampling.hashValue (salt "graft"): md5 hex digits
     * folded to a 32-bit integer. */

@@ -45,9 +45,9 @@ object Checkpoint {
   def completedBuckets(spark: SparkSession, outDir: String,
                        nBuckets: Option[Int] = None,
                        inputId: Option[String] = None): Set[Int] = {
-    val p = new org.apache.hadoop.fs.Path(lineagePath(outDir))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Set.empty
+    // existence goes through the provider seam, same as the read itself —
+    // an Iceberg provider answers from its catalog, not a filesystem path
+    if (!TableIO.exists(spark, lineagePath(outDir))) Set.empty
     else {
       val lineage = TableIO.read(spark, lineagePath(outDir))
       // schema probe BEFORE selecting: lineage written by an older engine
@@ -141,9 +141,7 @@ object Checkpoint {
 
   private def storedWatermark(spark: SparkSession,
                               outDir: String): Option[java.sql.Date] = {
-    val p = new org.apache.hadoop.fs.Path(watermarkPath(outDir))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
+    if (!TableIO.exists(spark, watermarkPath(outDir))) None
     else Option(TableIO.read(spark, watermarkPath(outDir))
       .agg(max("watermark")).head().getDate(0))
   }
@@ -157,6 +155,16 @@ object Checkpoint {
     * table the `day > watermark` predicate prunes at the partition level,
     * so a periodic incremental run scans exactly the newly arrived
     * partitions — validation cost tracks the DELTA, not the table.
+    *
+    * ARRIVAL CONTRACT — immutable day partitions: the strictly-newer
+    * watermark filter assumes a partition is complete when first seen (the
+    * append-only ingest shape this checkpoint targets). A row that lands
+    * LATE in an already-processed day is permanently skipped by design —
+    * the same contract as an event-time watermark. Pipelines whose
+    * upstream mutates old days must either re-run those days explicitly
+    * through `availableUpTo`-bounded backfills (per-day overwrite is
+    * idempotent, so re-validating a mutated day is safe and exact) or
+    * track upstream snapshot ids instead of day watermarks.
     *
     * `availableUpTo` simulates partial arrival (tests/backfills): data
     * beyond it is treated as not yet landed. Returns the days processed. */

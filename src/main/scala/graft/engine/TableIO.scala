@@ -12,6 +12,13 @@ trait TableProvider {
     * overwrite) — the idempotent per-period/per-bucket persistence shape. */
   def overwritePartitions(df: DataFrame, path: String,
                           partitionCols: Seq[String]): Unit
+
+  /** Whether a table exists at `path` — part of the provider contract so
+    * engine existence probes (checkpoint lineage, watermark tables) go
+    * through the SAME seam as reads: an Iceberg provider answers from its
+    * catalog, not from a filesystem path the engine has no business
+    * assuming. */
+  def exists(spark: SparkSession, path: String): Boolean
 }
 
 /** Default backend: local/HDFS Parquet. In production the Iceberg provider
@@ -30,6 +37,11 @@ object ParquetTableProvider extends TableProvider {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  override def exists(spark: SparkSession, path: String): Boolean = {
+    // Hadoop FileSystem API, not java.io: the path may be HDFS/S3
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 }
 
 /** Storage seam with a PLUGGABLE provider, mirroring the reference's
@@ -70,4 +82,6 @@ object TableIO {
   def overwritePartitions(df: DataFrame, path: String,
                           partitionCols: Seq[String]): Unit =
     provider(df.sparkSession).overwritePartitions(df, path, partitionCols)
+  def exists(spark: SparkSession, path: String): Boolean =
+    provider(spark).exists(spark, path)
 }

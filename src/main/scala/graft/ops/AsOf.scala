@@ -24,21 +24,37 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** Left rows keep all their columns; the matched right row's columns
-    * arrive nested as a struct column `asof` (NULL when no right row
-    * precedes the left row — left-join semantics). Among right rows with
-    * EQUAL timestamps the max-`rightTiebreak` row wins, deterministically —
-    * engines whose as-of leaves equal-timestamp picks unspecified (e.g.
-    * DuckDB ASOF) agree only after reducing the right side to one row per
-    * (key, ts), which is how the oracle is phrased. */
+    * arrive nested as a struct column `asofCol` (NULL when no right row
+    * precedes the left row — left-join semantics; the name is a parameter
+    * and the call FAILS FAST if the left schema already uses it). Among
+    * right rows with EQUAL timestamps the max-`rightTiebreak` row wins,
+    * deterministically — engines whose as-of leaves equal-timestamp picks
+    * unspecified (e.g. DuckDB ASOF) agree only after reducing the right
+    * side to one row per (key, ts), which is how the oracle is phrased.
+    *
+    * NULL contract (matches SQL comparison semantics, e.g. DuckDB ASOF): a
+    * right row with a NULL key or NULL timestamp can never be "the latest
+    * prior row" — such rows are dropped before the sweep (unfiltered they
+    * would sort nulls-first and match every left row with no genuine
+    * predecessor). Left rows with a NULL key or timestamp are KEPT and get
+    * a NULL match: a NULL left timestamp sorts before every right row of
+    * its key and a NULL left key shares its partition only with other
+    * null-key left rows, so the running sweep sees no right row either way. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               rightTiebreak: Option[String] = None): DataFrame = {
+               rightTiebreak: Option[String] = None,
+               asofCol: String = "asof"): DataFrame = {
+    require(!left.columns.contains(asofCol),
+      s"left relation already has a column named '$asofCol'; pass a " +
+        "different asofCol")
     val rStruct = struct(right.columns.map(col): _*)
     val rType = right.schema
     val lStruct = struct(left.columns.map(col): _*)
     val lType = left.schema
     val tb = rightTiebreak.map(col).getOrElse(lit(0L))
-    val r = right.select(col(key).as("__k"), col(rightTs).as("__t"),
+    val r = right
+      .where(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).as("__t"),
       lit(0).as("__side"), tb.as("__tb"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r"))
     val l = left.select(col(key).as("__k"), col(leftTs).as("__t"),
@@ -49,9 +65,9 @@ object AsOf {
     val w = Window.partitionBy("__k").orderBy("__t", "__side", "__tb")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionAll(l)
-      .withColumn("asof", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn(asofCol, last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(col("__l.*"), col("asof"))
+      .select(col("__l.*"), col(asofCol))
   }
 
   /** Attribution query over the events table: each purchase matched to the

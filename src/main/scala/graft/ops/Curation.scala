@@ -1,12 +1,14 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end curation pass: dedup + quality + language composed into one
   * per-doc KEEP/DROP decision table — the last step of a training-data
-  * pipeline (what actually gets fed to training).
+  * pipeline (what actually gets fed to training). Mirrors the reference's
+  * single-triage orchestration (MTBValidators.scala:650-743 assembles every
+  * rule family before one verdict): one verdict per record from ALL signal
+  * families, never per-family verdict tables a user must re-join.
   *
   * Decision semantics (first matching reason wins):
   *   drop_dup     — doc is an exact duplicate and not its group's keeper
@@ -14,13 +16,17 @@ import org.apache.spark.sql.functions._
   *   drop_quality — fails the quality gate
   *   keep         — otherwise (pred_lang rides along for routing)
   *
-  * Scale shape: ONE corpus pass. A single projection computes the content
-  * hash and every token-derived feature (the token array is let-bound so it
-  * is tokenized exactly once per row — same semantics as
-  * TextAnalysis.quality/langId, recomputed fused here rather than joined,
-  * because Spark re-executes shared subplans per reference); the keeper is
-  * a min-over-content-hash window (one shuffle, tiny per-hash groups — an
-  * exact-dup cluster of any size reduces to one min).
+  * Scale shape: the feature side is ONE corpus pass (a single projection
+  * computes the content hash and every token-derived feature; the token
+  * array is let-bound so it is tokenized exactly once per row — same
+  * semantics as TextAnalysis.quality/langId, recomputed fused here rather
+  * than joined, because Spark re-executes shared subplans per reference).
+  * The keeper is aggregate-then-join, NOT a min-over-hash window: a window
+  * colocates each hash's FULL membership on one task (a boilerplate doc
+  * duplicated 10^8 times = one 10^8-row task), while
+  * `groupBy(text_hash).agg(min)` combines map-side to one row per hash and
+  * the join back is AQE-broadcastable (distinct-hash-sized) or
+  * skew-splittable — same convention as Derive V30 / sample_quota.
   */
 object Curation {
 
@@ -157,10 +163,20 @@ object Curation {
       .select(col("doc_id"), col("f.label").as("label"), col("f.n_tokens"),
         col("f.avg_token_len"), col("f.stop_ratio"), col("punct_ratio"),
         col("f.frac_alpha"), col("f.frac_numeric"), col("f.max_tok_len"))
+    // persisted: `assembled` is referenced by BOTH .fit (train subset) and
+    // the scoring transform below — Spark re-executes shared subplans per
+    // reference, so without the persist the corpus would be tokenized twice
+    // (once for the LBFGS data passes + once for scoring). The cache holds
+    // only the numeric feature projection (`feat` already pruned text),
+    // stays consumer-lazy, and is reclaimed by the ContextCleaner once
+    // unreferenced — at 10^12 docs this IS the feature-table artifact a
+    // production run would persist via TableIO (or train on a written
+    // sample) before fitting.
     val assembled = new VectorAssembler()
       .setInputCols(Array("n_tokens", "avg_token_len", "stop_ratio",
         "punct_ratio", "frac_alpha", "frac_numeric", "max_tok_len"))
       .setOutputCol("features").transform(feat)
+      .persist()
     val model = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
       .fit(assembled.where(col("doc_id") % 3 === 0))
     import org.apache.spark.ml.functions.vector_to_array
@@ -171,14 +187,15 @@ object Curation {
           .as("p_quality"))
   }
 
-  def decisions(documents: DataFrame): DataFrame = {
-    val corpus = Dedup.corpusWithExactDups(documents)
+  /** Fused per-doc feature struct: quality gate + per-language stopword
+    * hits from ONE let-bound tokenization per row (shared by the decision
+    * tables — recomputed fused, never joined, because every feature is
+    * row-local and Spark re-executes shared subplans per reference). */
+  private def featureStruct: Column = {
     val langs = TextAnalysis.stopwords
-
     def hits(t: Column, words: Seq[String]): Column =
       size(filter(t, w => w.isin(words.map(lit): _*)))
-
-    val feat = graft.util.Exprs.withLet(TextAnalysis.tokens(col("text"))) { t =>
+    graft.util.Exprs.withLet(TextAnalysis.tokens(col("text"))) { t =>
       struct(
         // quality gate: token count in [5, 10000] and avg token length < 20
         (size(t).between(5, 10000) &&
@@ -186,26 +203,73 @@ object Curation {
             / size(t) < 20.0)).cast("int").as("quality_ok") +:
           langs.map { case (l, ws) => hits(t, ws).as(s"s_$l") }: _*)
     }
+  }
+
+  /** argmax stopword hits over the feature struct `f`, ties broken by fixed
+    * language order (identical to TextAnalysis.langId). */
+  private def predLang: Column = {
+    val langs = TextAnalysis.stopwords.map(_._1)
+    langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"f.s_$l") >= col(s"f.s_$o"))
+        .reduce(_ && _)
+      when(geAll, lit(l)).otherwise(els)
+    }
+  }
+
+  def decisions(documents: DataFrame): DataFrame = {
+    val corpus = Dedup.corpusWithExactDups(documents)
     val featured = corpus.select(
       col("doc_id"),
       md5(col("text").cast("binary")).as("text_hash"),
-      feat.as("f"))
-
-    // argmax stopword hits, ties broken by fixed language order (identical
-    // to TextAnalysis.langId)
-    val pred = langs.map(_._1).init.foldRight(lit(langs.last._1): Column) {
-      (l, els) =>
-        val geAll = langs.map(_._1).filter(_ != l)
-          .map(o => col(s"f.s_$l") >= col(s"f.s_$o"))
-          .reduce(_ && _)
-        when(geAll, lit(l)).otherwise(els)
-    }
+      featureStruct.as("f"))
+    // keeper = aggregate-then-join (see object Scaladoc): the keeper side
+    // re-reads the corpus through a HASH-ONLY projection (no tokenization —
+    // the expensive features run once, in `featured`), combines map-side to
+    // one row per hash, and joins back; AQE broadcasts the distinct-hash
+    // side when it fits and skew-splits the probe otherwise — a hot hash
+    // never serializes onto one task the way a window partition would.
+    val keepers = corpus
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper"))
     featured
-      .withColumn("dup_keep",
-        col("doc_id") === min("doc_id").over(Window.partitionBy("text_hash")))
-      .select(col("doc_id"), pred.as("pred_lang"),
-        col("f.quality_ok").as("quality_ok"), col("dup_keep"),
-        when(!col("dup_keep"), lit("drop_dup"))
+      .join(keepers, "text_hash")
+      .select(col("doc_id"), predLang.as("pred_lang"),
+        col("f.quality_ok").as("quality_ok"),
+        (col("doc_id") === col("keeper")).as("dup_keep"),
+        when(col("doc_id") =!= col("keeper"), lit("drop_dup"))
+          .when(col("f.quality_ok") === 0, lit("drop_quality"))
+          .otherwise(lit("keep")).as("decision"))
+  }
+
+  /** The near-dup-unified decision table — `decisions` with the MinHash+LSH
+    * near-duplicate machinery wired into the verdict: one keep/drop row per
+    * doc composed from cluster keepers (minhashLshPairs → dupClusters), the
+    * quality gate, and language routing. This is the analog of the
+    * reference's whole-record triage (every validator family feeds ONE
+    * verdict, MTBValidators.scala:650-743) for the curation pipeline.
+    *
+    * Decision precedence: drop_neardup (doc belongs to a near-dup cluster
+    * and is not its keeper — keeper = min doc_id reachable through the pair
+    * graph, i.e. `cluster_id`) → drop_quality → keep.
+    *
+    * Scale shape: the pair graph + clusters are participant-scale (bounded
+    * by the LSH candidate caps), so the final left join attaches cluster
+    * ids with an AQE-broadcastable build side; the feature side stays one
+    * fused corpus pass. */
+  def decisionsNearDup(documents: DataFrame): DataFrame = {
+    val corpus = Dedup.corpusWithNearDups(documents)
+    val pairs = Dedup.minhashLshPairs(corpus)
+      .select(col("doc_id_a"), col("doc_id_b"))
+    val clusters = Dedup.dupClusters(pairs)
+    val featured = corpus.select(col("doc_id"), featureStruct.as("f"))
+    featured
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), predLang.as("pred_lang"),
+        col("f.quality_ok").as("quality_ok"),
+        coalesce(col("cluster_id") === col("doc_id"), lit(true)).as("dup_keep"),
+        when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+          lit("drop_neardup"))
           .when(col("f.quality_ok") === 0, lit("drop_quality"))
           .otherwise(lit("keep")).as("decision"))
   }

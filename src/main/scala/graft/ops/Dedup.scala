@@ -108,6 +108,40 @@ object Dedup {
       .where(col("n_inter") * 10 >= col("n_union") * 6)
   }
 
+  /** Stage 1 of minhashLshPairs: (doc_id, band, sig) banded signatures.
+    * Exposed for per-stage bench tracing (Bench emits banding / candidate /
+    * verify wall times so host-contention windows are attributable to a
+    * stage). explode_outer: plain explode triggers InferFiltersFromGenerate,
+    * which duplicates the whole minhash expression into a pushed-down
+    * Filter. No tokens>=3 pre-filter: MinHashBands emits ZERO bands for a
+    * shingle-less doc (empty array -> explode_outer null -> dropped), so
+    * the filter is redundant — and harmful: Catalyst pushes the HOF
+    * predicate into the FileScan's DataFilters, evaluating the whole
+    * tokenize per corpus row BEFORE the parallelism fan-out. */
+  private[graft] def minhashBanded(corpus: DataFrame, numHashes: Int = 64,
+                                   rowsPerBand: Int = 2): DataFrame = {
+    val bandsExpr =
+      graft.functions.MinHashBands(shingles(col("text")), numHashes, rowsPerBand)
+    corpus
+      .select(col("doc_id"), explode_outer(bandsExpr).as("bs"))
+      .where(col("bs").isNotNull)
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Stage 2: distinct candidate pairs from shared band buckets. Bounded
+    * membership: a million-fold exact-dup cluster lands its whole cluster
+    * in ONE band bucket — the aggregation buffer itself (not just the
+    * downstream pair expansion) is capped at the 1000 smallest doc_ids. */
+  private[graft] def minhashCandidatePairs(banded: DataFrame): DataFrame =
+    banded
+      .groupBy(col("band"), col("sig"))
+      .agg(graft.functions.BoundedCollect.longs(1000)(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
+      .distinct()
+
   /** MinHash + banded LSH near-dup detection, exact-Jaccard verified.
     *
     * Row-local signature pipeline (no explode of shingles): ONE xxhash64
@@ -128,30 +162,7 @@ object Dedup {
     */
   def minhashLshPairs(corpus: DataFrame, numHashes: Int = 64,
                       rowsPerBand: Int = 2): DataFrame = {
-    val bandsExpr =
-      graft.functions.MinHashBands(shingles(col("text")), numHashes, rowsPerBand)
-    // explode_outer: plain explode triggers InferFiltersFromGenerate, which
-    // duplicates the whole minhash expression into a pushed-down Filter
-    // No tokens>=3 pre-filter: MinHashBands emits ZERO bands for a
-    // shingle-less doc (empty array -> explode_outer null -> dropped), so
-    // the filter is redundant — and harmful: Catalyst pushes the HOF
-    // predicate into the FileScan's DataFilters, evaluating the whole
-    // tokenize per corpus row BEFORE the parallelism fan-out.
-    val banded = corpus
-      .select(col("doc_id"), explode_outer(bandsExpr).as("bs"))
-      .where(col("bs").isNotNull)
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // bounded membership: a million-fold exact-dup cluster lands its whole
-    // cluster in ONE band bucket — cap the aggregation buffer (not just the
-    // downstream pair expansion) at the 1000 smallest doc_ids
-    val candidates = banded
-      .groupBy(col("band"), col("sig"))
-      .agg(graft.functions.BoundedCollect.longs(1000)(col("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))
-      .where(col("p").isNotNull)
-      .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
-      .distinct()
+    val candidates = minhashCandidatePairs(minhashBanded(corpus, numHashes, rowsPerBand))
     // exact verify: intersect 64-bit-hashed shingle sets (hashing preserves
     // distinct counts up to ~1e-14 collision odds; long intersects are far
     // cheaper than string intersects). Structure matters twice here:
@@ -351,5 +362,63 @@ object Dedup {
       }
     } finally edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** documents rewritten as newline-joined lines with deterministic
+    * boilerplate injections (the sandbox corpus is single-line):
+    * doc_id%7=0 docs gain a newsletter header + copyright footer,
+    * doc_id%11=0 docs a navigation line — the cross-document duplicated
+    * lines a Dolma/CCNet-style pass strips. concat_ws skips NULL branches
+    * in both engines, keeping the injection SQL-recomputable. */
+  def corpusWithBoilerplateLines(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat_ws("\n",
+        when(col("doc_id") % 7 === 0, lit("subscribe to our newsletter")),
+        col("text"),
+        when(col("doc_id") % 7 === 0, lit("copyright 2026 example corp")),
+        when(col("doc_id") % 11 === 0, lit("home about contact privacy terms")))
+        .as("text"))
+
+  /** Cross-document line-level dedup (Dolma/CCNet shape): lines occurring
+    * in >= minDocFreq DISTINCT documents are boilerplate (headers, footers,
+    * navigation) and are stripped from every document; per-doc line order
+    * is preserved. Docs whose every line is boilerplate drop out of the
+    * result (nothing left to train on) — the sandbox injection never fully
+    * empties a doc, so the oracle compare is unaffected.
+    *
+    * Scale shape: two corpus passes by necessity (corpus line statistics,
+    * then per-doc application — same shape as tokenFreqStats). Pass 1
+    * explodes per-doc DISTINCT lines and hash-aggregates to document
+    * frequency (map-side combine; output is distinct-line-sized, and the
+    * heavy set it filters to is bounded by totalLines/minDocFreq). Pass 2
+    * explodes lines WITH positions (the line array is materialized as an
+    * attribute below the generator so CollapseProject cannot re-evaluate
+    * the split per exploded row), anti-joins the heavy set (AQE broadcasts
+    * it when it fits — never forced: at 10^12 docs the heavy set can
+    * exceed broadcast limits and the anti-join degrades gracefully to
+    * shuffle), and reassembles per doc. The reassembly buffer is bounded
+    * by a single document's line count — the natural row grain. */
+  def lineDedup(corpus: DataFrame, minDocFreq: Int = 5): DataFrame = {
+    val heavy = corpus
+      .select(col("doc_id"),
+        explode_outer(array_distinct(split(col("text"), "\n"))).as("line"))
+      .where(col("line").isNotNull)
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select("line")
+    val kept = corpus
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .select(col("doc_id"), size(col("ls")).as("n_lines"),
+        posexplode_outer(col("ls")).as(Seq("pos", "line")))
+      .where(col("line").isNotNull)
+      .join(heavy, Seq("line"), "left_anti")
+    kept
+      .groupBy(col("doc_id"), col("n_lines"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line"))).as("text_clean"))
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - col("n_kept")).as("n_removed"), col("text_clean"))
   }
 }

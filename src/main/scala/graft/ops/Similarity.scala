@@ -352,25 +352,37 @@ object Similarity {
     * dequantized codes; exact top-k via the mergeable heap aggregate.
     * Fully deterministic (exact min/max, half-up rounding, sequential-fold
     * dot) → exact DuckDB oracle. */
-  def sq8TopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cands = base.where(col("vec_id") >= nQueries)
-    // train: per-dimension min/max (posexplode -> 1 agg with map-side
-    // combine; output is dim rows regardless of corpus size)
+  /** SQ8 training pass: per-dimension (min, scale) over the candidate set
+    * (posexplode -> 1 agg with map-side combine; output is dim rows
+    * regardless of corpus size, driver-safe) as typedLit array columns. */
+  private def sq8Params(cands: DataFrame): (Column, Column) = {
     val stats = cands.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
       .orderBy("i").collect()
-    val mns = typedLit(stats.map(_.getDouble(1)).toSeq)
-    val scales = typedLit(stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq)
-    // encode to codes 0..255 (constant dims -> 0), then dequantize for the
-    // asymmetric scoring pass
-    val codes = transform(col("v"), (x, i) =>
+    (typedLit(stats.map(_.getDouble(1)).toSeq),
+      typedLit(stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq))
+  }
+
+  /** Encode `v` to 8-bit codes 0..255 (constant dims -> 0). */
+  private def sq8Encode(mns: Column, scales: Column): Column =
+    transform(col("v"), (x, i) =>
       when(element_at(scales, i + 1) === 0.0, lit(0))
         .otherwise(least(lit(255), greatest(lit(0),
           round((x - element_at(mns, i + 1)) / element_at(scales, i + 1))
             .cast("int")))))
-    val deq = transform(col("c"), (cj, i) =>
+
+  /** Dequantize a code column `c` for asymmetric scoring. */
+  private def sq8Dequant(mns: Column, scales: Column): Column =
+    transform(col("c"), (cj, i) =>
       element_at(mns, i + 1) + cj.cast("double") * element_at(scales, i + 1))
+
+  def sq8TopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cands = base.where(col("vec_id") >= nQueries)
+    val (mns, scales) = sq8Params(cands)
+    // encode, then dequantize for the asymmetric scoring pass
+    val codes = sq8Encode(mns, scales)
+    val deq = sq8Dequant(mns, scales)
     val cd = cands.select(col("vec_id"), codes.as("c"))
       .select(col("vec_id"), deq.as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -385,6 +397,63 @@ object Similarity {
       .select(col("q_vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_vec_id"), (col("pos") + 1).cast("int").as("rank"),
         col("t.id").as("n_vec_id"), round(col("t.score"), 6).as("score_r"))
+  }
+
+  /** The PRODUCTION ANN index shape: IVF cells OF SQ8 codes — the two
+    * existing paths composed. Build: assign every candidate to its nearest
+    * coarse cell (full precision), SQ8-encode it, and persist the inverted
+    * lists cell-partitioned with the O(dim) quantization parameters as a
+    * sidecar metadata table; a 10^12-vector index stores 8x fewer bytes per
+    * vector at rest AND prunes to nProbe/nCells of them per query batch.
+    * Probe: queries stay full precision, pick nProbe cells against the
+    * full-precision centroids, read ONLY those cell partitions (static
+    * partition pruning, like ivfProbeIndex), dequantize the codes and score
+    * asymmetrically. Deterministic end-to-end (exact min/max, half-up
+    * rounding on non-negative values, sequential-fold dots) → exact DuckDB
+    * oracle; recall vs the full-precision IVF is spec-asserted. */
+  def ivfSq8BuildIndex(emb: DataFrame, path: String,
+                       nQueries: Int = 8, nCells: Int = 16): Unit = {
+    val e = prepared(emb)
+    val centroids = seedCentroids(e, nQueries, nCells)
+    val cands = e.where(col("vec_id") >= nQueries)
+    val (mns, scales) = sq8Params(cands.select(col("vec_id"), col("v")))
+    val assigned = nearestCells(cands, centroids, "vec_id", 1)
+    assigned
+      .select(col("vec_id"), sq8Encode(mns, scales).as("code"), col("cell_id"))
+      // one file per cell partition (see ivfBuildIndex)
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    // sidecar quantization metadata (dim rows — the index header)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.engine.TableIO.write(
+      spark.range(1).select(posexplode(mns).as(Seq("i", "mn")))
+        .join(spark.range(1).select(posexplode(scales).as(Seq("i", "scale"))), "i"),
+      s"${path}_meta")
+  }
+
+  def ivfSq8ProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = prepared(emb)
+    val centroids = seedCentroids(e, nQueries, nCells)
+    val q = nearestCells(
+      e.where(col("vec_id") < nQueries), centroids, "vec_id", nProbe)
+      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("cell_id"))
+    val probedCells = q.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // O(dim) header read — never a corpus pass
+    val meta = graft.engine.TableIO.read(spark, s"${path}_meta")
+      .orderBy("i").collect()
+    val mns = typedLit(meta.map(_.getDouble(1)).toSeq)
+    val scales = typedLit(meta.map(_.getDouble(2)).toSeq)
+    val index = spark.read.parquet(path)
+      .where(col("cell_id").isin(probedCells: _*))
+      .select(col("cell_id"), col("vec_id"), col("code").as("c"))
+      .select(col("cell_id"), col("vec_id"), sq8Dequant(mns, scales).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    rerank(index, q, k)
   }
 
   /** Declarative random-hyperplane signature (shape reference for the

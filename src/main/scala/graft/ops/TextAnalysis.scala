@@ -199,6 +199,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** The persisted-index pattern for the text statistics (same amortization
+    * sim_ann_ivf_index proves for ANN): tokenize the corpus ONCE into the
+    * (doc_id, term, tf) table and write it through TableIO — it is the
+    * index artifact both corpus-statistics queries derive from, so the
+    * expensive tokenization job runs once per corpus instead of once per
+    * statistics pass (tokenFreqStats/characteristicTerms each tokenize
+    * twice when computed from raw text). One explode + one hash aggregate
+    * with map-side combine; output is sum-of-distinct-terms-per-doc sized. */
+  def buildTfTable(documents: DataFrame, path: String): Unit =
+    graft.engine.TableIO.write(
+      documents
+        .select(col("doc_id"), explode_outer(tokens(col("text"))).as("term"))
+        .where(col("term").isNotNull)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+      path)
+
+  /** tokenFreqStats derived from a persisted tf table — zero tokenization:
+    * the vocabulary is a regroup of tf (freq = sum of tf over docs), the
+    * per-doc stats weight each term by its in-doc tf. Result is row-for-row
+    * identical to [[tokenFreqStats]] (the oracle is shared). */
+  def tokenFreqStatsFromTf(tf: DataFrame, rareBelow: Int = 5): DataFrame = {
+    val vocab = tf.groupBy("term").agg(sum("tf").as("freq"))
+    tf.join(vocab, "term")
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").cast("int").as("n_tokens"),
+        sum(col("tf") * col("freq")).as("sum_freq"),
+        min("freq").as("min_freq"),
+        sum(when(col("freq") < rareBelow, col("tf")).otherwise(0L)).cast("int")
+          .as("n_rare"))
+  }
+
+  /** characteristicTerms derived from a persisted tf table — zero
+    * tokenization; identical output to [[characteristicTerms]]. */
+  def characteristicTermsFromTf(tf: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(docFreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
   /** Document fingerprints, mod 1000003, from a portable per-word hash
     * (31*len + 7*first-char + last-char codepoints — identical arithmetic
     * is expressible in ANSI SQL for the oracle):

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-4 pipeline operators: line-level dedup, the near-dup-unified
+  * curation triage, the IVF×SQ8 composed index, and the persisted tf
+  * table. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val documents = spark.read.parquet(s"$sf/documents.parquet").cache()
+  private lazy val embeddings = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("line dedup strips exactly the heavy injected boilerplate lines, in order") {
+    val corpus = Dedup.corpusWithBoilerplateLines(documents)
+    val out = Dedup.lineDedup(corpus).cache()
+    // body lines are unique per doc, so no doc empties out
+    assert(out.count() == documents.count())
+    // a line is stripped iff its document frequency reaches the threshold
+    val n7 = documents.where(col("doc_id") % 7 === 0).count()
+    val n11 = documents.where(col("doc_id") % 11 === 0).count()
+    val exp7 = if (n7 >= 5) 2 else 0   // header + footer
+    val exp11 = if (n11 >= 5) 1 else 0 // nav line
+    assert(n7 >= 5, "fixture sanity: the 7-periodic boilerplate must be heavy")
+    val removed = out.select("doc_id", "n_removed").as[(Long, Int)]
+      .collect().toMap
+    documents.select("doc_id").as[Long].collect().foreach { id =>
+      val exp = (if (id % 7 == 0) exp7 else 0) + (if (id % 11 == 0) exp11 else 0)
+      assert(removed(id) == exp, s"doc $id: removed ${removed(id)}, expected $exp")
+    }
+    // order-preserving reassembly: when every injected line is heavy, the
+    // cleaned text is exactly the original body
+    if (exp7 == 2 && exp11 == 1)
+      assert(out.join(documents, "doc_id")
+        .where(col("text_clean") =!= col("text")).count() == 0)
+    else // at minimum, untouched docs round-trip bit-for-bit
+      assert(out.join(documents, "doc_id")
+        .where(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0)
+        .where(col("text_clean") =!= col("text")).count() == 0)
+  }
+
+  test("near-dup-unified curation: injected copies drop, keepers survive, one verdict each") {
+    val out = Curation.decisionsNearDup(documents).cache()
+    val corpus = Dedup.corpusWithNearDups(documents)
+    assert(out.count() == corpus.count(), "exactly one verdict per doc")
+    val dec = out.select("doc_id", "decision").as[(Long, String)].collect().toMap
+    val injected = documents.where(col("doc_id") % 50 === 0)
+      .select("doc_id").as[Long].collect()
+    assert(injected.nonEmpty)
+    injected.foreach { id =>
+      assert(dec(id + 1000000) == "drop_neardup",
+        s"injected copy of $id must drop as a near-dup")
+    }
+    // exactly each cluster's min-id member survives the near-dup gate
+    // (base docs may legitimately cluster with each other — the synthetic
+    // vocabulary is small — so keepers are read off the cluster table, not
+    // assumed to be the pre-injection ids)
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashLshPairs(corpus).select("doc_id_a", "doc_id_b"))
+      .as[(Long, Long)].collect()
+    clusters.foreach { case (id, cid) =>
+      if (id == cid) assert(dec(id) != "drop_neardup", s"keeper $id must survive")
+      else assert(dec(id) == "drop_neardup", s"non-keeper $id must drop")
+    }
+    // dup_keep is false exactly on the drop_neardup rows
+    assert(out.where((col("decision") === "drop_neardup") =!= !col("dup_keep"))
+      .count() == 0)
+    // language routing and quality flags agree with the standalone ops on
+    // the same corpus
+    val lang = TextAnalysis.langId(corpus).select("doc_id", "pred_lang")
+    assert(out.select("doc_id", "pred_lang").exceptAll(lang).isEmpty)
+    val qual = TextAnalysis.quality(corpus).select("doc_id", "quality_ok")
+    assert(out.select("doc_id", "quality_ok").exceptAll(qual).isEmpty)
+  }
+
+  test("IVF×SQ8 persisted index: pruned probe, near-full-precision recall") {
+    val path = Files.createTempDirectory("graft-ivfsq8").toString + "/idx"
+    Similarity.ivfSq8BuildIndex(embeddings, path)
+    val probed = Similarity.ivfSq8ProbeIndex(spark, path, embeddings)
+    // only the probed cells' partitions are scanned (static pruning)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(plan).isDefined,
+      s"index scan must carry a cell_id partition filter:\n$plan")
+    // the quantized index agrees with the full-precision IVF on nearly
+    // every neighbor (SQ8 error only reorders near-ties)
+    val sq8 = probed.select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfTopK(embeddings)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty)
+    val recall = (sq8 & full).size.toDouble / full.size
+    assert(recall >= 0.8, s"IVF×SQ8 recall vs full-precision IVF: $recall")
+  }
+
+  test("persisted tf table: identical stats to the direct ops, zero re-tokenization") {
+    val path = Files.createTempDirectory("graft-tf").toString + "/tf"
+    TextAnalysis.buildTfTable(documents, path)
+    val tf = graft.engine.TableIO.read(spark, path)
+    val a = TextAnalysis.tokenFreqStatsFromTf(tf)
+    val b = TextAnalysis.tokenFreqStats(documents)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val c = TextAnalysis.characteristicTermsFromTf(tf)
+    val d = TextAnalysis.characteristicTerms(documents)
+    assert(c.exceptAll(d).isEmpty && d.exceptAll(c).isEmpty)
+    // the derived plans contain NO Generate node: tokenization happened
+    // once, in the build job — the statistics are pure regroupings of the
+    // stored artifact
+    assert(!a.queryExecution.optimizedPlan.toString.contains("Generate"),
+      "tokenFreqStatsFromTf must not re-tokenize")
+    assert(!c.queryExecution.optimizedPlan.toString.contains("Generate"),
+      "characteristicTermsFromTf must not re-tokenize")
+  }
+}

@@ -70,4 +70,40 @@ class SessionizeSpec extends SparkSpec {
     assert(lib.exceptAll(truth).isEmpty && truth.exceptAll(lib).isEmpty,
       "sessionizeBatch must equal the gap-session ground truth")
   }
+
+  test("open session flushes via event-time timeout once the watermark passes it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Sessionize.Event]
+    val gapMs = 3600L * 1000 // 1h gap; watermark delay in sessionize is 1h
+    // offset away from epoch 0: the stateful operator's late-data filter
+    // drops rows with ts <= watermark, and the INITIAL watermark is 0 — an
+    // epoch-0 event silently vanishes
+    def ts(min: Long) = new java.sql.Timestamp((min + 1000) * 60000L)
+    val q = Sessionize.sessionize(spark, ms.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sess_flush")
+      .outputMode("append").start()
+    try {
+      // user 7's session stays OPEN after its batch: nothing is emitted
+      ms.addData(Sessionize.Event(1, ts(0), 7L, "click", 0.0),
+        Sessionize.Event(2, ts(30), 7L, "click", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_flush").isEmpty,
+        "an open session must not be emitted before its timeout")
+      // a far-future event for ANOTHER user advances the event-time
+      // watermark far past user 7's timeout (last=30min + 60min gap); the
+      // timeout handler fires on the NEXT batch after the watermark update
+      ms.addData(Sessionize.Event(3, ts(100000), 8L, "view", 0.0))
+      q.processAllAvailable()
+      ms.addData(Sessionize.Event(4, ts(100001), 8L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_flush")
+        .select("user_id", "start_ts", "end_ts", "n_events")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      assert(got.contains((7L, ts(0), ts(30), 2L)),
+        s"the state-eviction path must flush user 7's open session; got ${got.mkString(", ")}")
+      assert(got.forall(_._1 == 7L),
+        "user 8's session is still open and must NOT flush")
+    } finally q.stop()
+  }
 }

@@ -126,15 +126,21 @@ class StreamingAndMetricsSpec extends SparkSpec {
 
   test("streaming exact dedup keeps one doc per content hash across batches") {
     val watched = Files.createTempDirectory("graft-stream-dedup").toString
-    // the same file arrives twice (re-ingest) -> every doc is a duplicate
+    // the same file arrives twice (re-ingest) -> every doc is a duplicate.
+    // The second copy lands only AFTER the first micro-batch completes, so
+    // the duplicates genuinely arrive in a LATER batch and the property
+    // tested is cross-batch state, not within-batch distinct.
     Files.copy(Paths.get(s"$sf/documents.parquet"),
       Paths.get(s"$watched/a.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    Files.copy(Paths.get(s"$sf/documents.parquet"),
-      Paths.get(s"$watched/b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val q = StreamValidate.dedupDocsStream(spark, watched)
       .writeStream.format("memory").queryName("stream_dedup")
       .outputMode("append").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try {
+      q.processAllAvailable()
+      Files.copy(Paths.get(s"$sf/documents.parquet"),
+        Paths.get(s"$watched/b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+    } finally q.stop()
     val batchDistinct = spark.read.parquet(s"$sf/documents.parquet")
       .select(md5(col("text").cast("binary"))).distinct().count()
     assert(spark.table("stream_dedup").count() == batchDistinct)
@@ -145,14 +151,20 @@ class StreamingAndMetricsSpec extends SparkSpec {
 
   test("watermarked streaming dedup drops in-horizon duplicate event ids") {
     val watched = Files.createTempDirectory("graft-stream-evdedup").toString
+    // second arrival staged after the first batch completes (cross-batch,
+    // see the doc-dedup test above) — and within the watermark horizon,
+    // since both copies carry identical event times
     Files.copy(Paths.get(s"$sf/events.parquet"),
       Paths.get(s"$watched/a.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    Files.copy(Paths.get(s"$sf/events.parquet"),
-      Paths.get(s"$watched/b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val q = StreamValidate.dedupEventsStream(spark, watched)
       .writeStream.format("memory").queryName("stream_evdedup")
       .outputMode("append").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try {
+      q.processAllAvailable()
+      Files.copy(Paths.get(s"$sf/events.parquet"),
+        Paths.get(s"$watched/b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+    } finally q.stop()
     val distinctIds = spark.read.parquet(s"$sf/events.parquet")
       .select("event_id").distinct().count()
     assert(spark.table("stream_evdedup").count() == distinctIds)

@@ -57,6 +57,9 @@ class SubmissionStoreSpec extends SparkSpec {
       def overwritePartitions(df: DataFrame, p: String,
                               cols: Seq[String]): Unit =
         calls += s"owp:$p:${cols.mkString("+")}"
+      def exists(s: SparkSession, p: String): Boolean = {
+        calls += s"exists:$p"; false
+      }
     }
     TableIO.register("recorder", Recorder)
     spark.conf.set(TableIO.ProviderConf, "recorder")
@@ -66,7 +69,15 @@ class SubmissionStoreSpec extends SparkSpec {
       TableIO.append(df, "/x")
       TableIO.overwritePartitions(df, "/x", Seq("a"))
       TableIO.read(spark, "/x")
-      assert(calls.toList === List("write:/x", "append:/x", "owp:/x:a", "read:/x"))
+      assert(!TableIO.exists(spark, "/x"))
+      assert(calls.toList === List("write:/x", "append:/x", "owp:/x:a",
+        "read:/x", "exists:/x"))
+      // the engine's checkpoint existence probes ride the SAME seam: with
+      // the recorder active (exists=false), completedBuckets must consult
+      // the provider and report an empty checkpoint — not touch the FS
+      calls.clear()
+      assert(graft.engine.Checkpoint.completedBuckets(spark, "/ckpt").isEmpty)
+      assert(calls.toList === List("exists:/ckpt/lineage"))
 
       spark.conf.set(TableIO.ProviderConf, "nope")
       intercept[IllegalArgumentException](TableIO.write(df, "/x"))

@@ -154,6 +154,14 @@ object SparkEntry {
       ops.Dedup.dupClusters(
         ops.Dedup.ngramJaccardPairs(
           ops.Dedup.corpusWithNearDups(graft.data.Tables.read(s, d, "documents"))))),
+    // the O(log n)-round star-contraction variant (Kiveris et al. SoCC'14)
+    // of the same clustering — the production path for graphs whose
+    // diameter exceeds the propagation bound; identical output contract,
+    // so it shares dedup_clusters' oracle
+    "dedup_clusters_star" -> ((s, d) =>
+      ops.Dedup.dupClustersStar(
+        ops.Dedup.ngramJaccardPairs(
+          ops.Dedup.corpusWithNearDups(graft.data.Tables.read(s, d, "documents"))))),
     // cross-document line-level dedup (Dolma/CCNet boilerplate stripping):
     // lines in >= 5 distinct docs removed, per-doc order preserved
     "dedup_lines" -> ((s, d) =>
@@ -233,6 +241,11 @@ object SparkEntry {
     // MTBValidators.scala:650-743 analog for the curation pipeline)
     "curation_decisions_neardup" -> ((s, d) =>
       ops.Curation.decisionsNearDup(graft.data.Tables.read(s, d, "documents"))),
+    // the COMPLETE triage: near-dup clusters + benchmark decontamination +
+    // quality + language + PII flag composed into one verdict per doc —
+    // every signal family the pipeline computes, single-triage style
+    "curation_decisions_full" -> ((s, d) =>
+      ops.Curation.decisionsFull(graft.data.Tables.read(s, d, "documents"))),
     // ---- training-data pipeline: multimodal plumbing ----------------------
     "multimodal_summary" -> ((s, d) =>
       ops.Multimodal.mediaSummary(graft.data.Tables.read(s, d, "documents"))),
@@ -581,20 +594,82 @@ object SparkEntry {
           |   >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))""".stripMargin),
       // oracle: same exact-jaccard pair graph, components via a recursive
       // transitive-closure CTE (min reachable doc_id per node)
-      "dedup_clusters" -> (nearDupShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """,
-          |p AS (SELECT a.doc_id AS a, b.doc_id AS b
-          |      FROM sh a JOIN sh b
-          |        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-          |      WHERE 10 * len(list_intersect(a.sh, b.sh))
-          |         >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
-          |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
-          |n AS (SELECT DISTINCT a AS doc_id FROM e),
-          |reach(doc_id, r) AS (
-          |  SELECT doc_id, doc_id FROM n
-          |  UNION
-          |  SELECT re.doc_id, e.b FROM reach re JOIN e ON re.r = e.a)
-          |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin),
+      "dedup_clusters" -> dupClustersOracleSql,
+      // the star-contraction variant has the identical output contract, so
+      // the same independent recomputation oracles it
+      "dedup_clusters_star" -> dupClustersOracleSql,
+      // oracle: every signal family recomputed independently — the
+      // doubly-injected corpus (near-dup copies + PII suffixes), the
+      // corpus-wide jaccard pair graph + recursive closure, eval-set
+      // shingle overlap against the RAW %97 documents, and the
+      // quality/langid/PII row derivations — composed with the same
+      // precedence
+      "curation_decisions_full" -> {
+        val (em, ip, ph) = (graft.ops.Curation.emailPattern,
+          graft.ops.Curation.ipPattern, graft.ops.Curation.phonePattern)
+        s"""WITH RECURSIVE base AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000, text || ' near dup copy tail'
+           |  FROM documents WHERE doc_id%50=0),
+           |corpus AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 10 = 0
+           |           THEN text || ' contact bob.smith@example.com ip 10.77.3.204 tel 555-0142'
+           |         WHEN doc_id % 10 = 5
+           |           THEN text || ' ann_lee@test.org from 192.168.0.13'
+           |         ELSE text END AS text
+           |  FROM base),
+           |tok AS (SELECT doc_id, text,
+           |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS t FROM corpus),
+           |sh AS (SELECT doc_id,
+           |       list_distinct(list_transform(generate_series(1, len(t)-2),
+           |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           |       FROM tok WHERE len(t) >= 3),
+           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE 10 * len(list_intersect(a.sh, b.sh))
+           |         >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+           |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+           |n AS (SELECT DISTINCT a AS doc_id FROM e),
+           |reach(doc_id, r) AS (
+           |  SELECT doc_id, doc_id FROM n
+           |  UNION
+           |  SELECT re.doc_id, e.b FROM reach re JOIN e ON re.r = e.a),
+           |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+           |rawtok AS (SELECT doc_id,
+           |           list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
+           |           FROM documents WHERE doc_id % 97 = 0),
+           |ev AS (SELECT DISTINCT unnest(list_distinct(
+           |         list_transform(generate_series(1, len(t)-2),
+           |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+           |       FROM rawtok WHERE len(t) >= 3),
+           |ct AS (SELECT doc_id, count(*) AS n_contam
+           |       FROM (SELECT doc_id, unnest(sh) AS s FROM sh) ds JOIN ev USING (s)
+           |       GROUP BY doc_id),
+           |q AS (SELECT doc_id,
+           |  CASE WHEN len(t) BETWEEN 5 AND 10000
+           |        AND CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)/len(t) < 20.0
+           |       THEN 1 ELSE 0 END AS quality_ok,
+           |  CASE WHEN len(regexp_extract_all(text, '$em'))
+           |          + len(regexp_extract_all(text, '$ip'))
+           |          + len(regexp_extract_all(text, '$ph')) > 0
+           |       THEN 1 ELSE 0 END AS pii_found,
+           |  $langScoresSql
+           |FROM tok)
+           |SELECT q.doc_id,
+           |  CASE $langCasesSql ELSE '$langLastSql' END AS pred_lang,
+           |  quality_ok,
+           |  coalesce(cl.cluster_id = q.doc_id, TRUE) AS dup_keep,
+           |  CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated,
+           |  pii_found,
+           |  CASE WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> q.doc_id
+           |         THEN 'drop_neardup'
+           |       WHEN ct.doc_id IS NOT NULL THEN 'drop_contaminated'
+           |       WHEN quality_ok = 0 THEN 'drop_quality'
+           |       ELSE 'keep' END AS decision
+           |FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id
+           |LEFT JOIN ct ON q.doc_id = ct.doc_id""".stripMargin
+      },
       // oracle: the same boilerplate injection, document frequency over
       // per-doc distinct lines, and order-preserving reassembly — zipped
       // unnest gives line positions, list(... ORDER BY pos) restores order
@@ -1110,6 +1185,25 @@ object SparkEntry {
       |         AS BIGINT)),
       |    (a, b) -> a * 16 + b) AS hv
       |  FROM documents)""".stripMargin
+
+  /** Exact-jaccard pair graph within (lang, source), components via a
+    * recursive transitive-closure CTE (min reachable doc_id per node) —
+    * shared by both clustering variants. */
+  private lazy val dupClustersOracleSql: String =
+    (nearDupShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |      FROM sh a JOIN sh b
+        |        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |      WHERE 10 * len(list_intersect(a.sh, b.sh))
+        |         >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |n AS (SELECT DISTINCT a AS doc_id FROM e),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM n
+        |  UNION
+        |  SELECT re.doc_id, e.b FROM reach re JOIN e ON re.r = e.a)
+        |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin)
 
   private val ivfOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -273,4 +273,53 @@ object Curation {
           .when(col("f.quality_ok") === 0, lit("drop_quality"))
           .otherwise(lit("keep")).as("decision"))
   }
+
+  /** The COMPLETE curation triage — every signal family the pipeline
+    * computes, composed into one verdict per doc (the full analog of the
+    * reference assembling ALL validator families before one record
+    * verdict, MTBValidators.scala:650-743):
+    *
+    *   near-dup clusters (minhashLshPairs → dupClusters keepers)
+    *   benchmark decontamination (eval-set shingle overlap)
+    *   quality gate + language routing (fused row-local features)
+    *   PII detection (flag rides along; redaction is pii_scrub's job)
+    *
+    * Precedence (first match wins): drop_neardup → drop_contaminated →
+    * drop_quality → keep. The corpus carries BOTH deterministic
+    * injections (near-dup copies + PII suffixes) so every family has
+    * positives; the eval set is the RAW doc_id%97=0 documents — the
+    * benchmark texts as published, not the injected corpus rows.
+    *
+    * Scale shape: three independent corpus passes (features; LSH banding;
+    * shingle⋈eval) — the signal families are genuinely independent
+    * aggregations, exactly like the reference's validators, and each pass
+    * keeps its own documented 10^12 shape. The composition joins are all
+    * participant-/flagged-scale left joins (AQE broadcast territory). */
+  def decisionsFull(documents: DataFrame): DataFrame = {
+    val corpus = corpusWithPii(
+      Dedup.corpusWithNearDups(documents).select(col("doc_id"), col("text")))
+    val pairs = Dedup.minhashLshPairs(corpus)
+      .select(col("doc_id_a"), col("doc_id_b"))
+    val clusters = Dedup.dupClusters(pairs)
+    val contam = decontaminate(corpus, documents.where(col("doc_id") % 97 === 0))
+      .select(col("doc_id"), col("n_contam"))
+    val featured = corpus.select(col("doc_id"), featureStruct.as("f"),
+      ((size(regexp_extract_all(col("text"), lit(emailPattern), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(ipPattern), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(phonePattern), lit(0)))) > 0)
+        .cast("int").as("pii_found"))
+    featured
+      .join(clusters, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), predLang.as("pred_lang"),
+        col("f.quality_ok").as("quality_ok"),
+        coalesce(col("cluster_id") === col("doc_id"), lit(true)).as("dup_keep"),
+        col("n_contam").isNotNull.cast("int").as("contaminated"),
+        col("pii_found"),
+        when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+          lit("drop_neardup"))
+          .when(col("n_contam").isNotNull, lit("drop_contaminated"))
+          .when(col("f.quality_ok") === 0, lit("drop_quality"))
+          .otherwise(lit("keep")).as("decision"))
+  }
 }

@@ -364,6 +364,97 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components via LARGE-STAR / SMALL-STAR alternation (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * production path [[dupClusters]]' Scaladoc names for graphs whose
+    * diameter exceeds the propagation bound: provably O(log^2 n) rounds on
+    * ANY graph (O(log n) in practice), each round two keyed aggregates +
+    * explodes, no assumption about component shape.
+    *
+    *   large-star: every node u links each STRICTLY GREATER neighbor to
+    *               m(u) = min(N(u) ∪ u)   — hangs big nodes off minima
+    *   small-star: every node u links each neighbor <= u, and itself, to
+    *               m(u)                   — contracts chains onto minima
+    *
+    * Both steps preserve connectivity and monotonically shrink the edge
+    * set toward stars rooted at component minima; at the fixpoint every
+    * node's neighborhood minimum IS its component minimum. Each round is
+    * localCheckpointed (lineage CUT, not just cached — see the loop
+    * comment); the fixpoint test (edge set unchanged) costs one
+    * anti-join each way over participant-scale rows.
+    *
+    * Output contract matches [[dupClusters]]: (doc_id, cluster_id = min
+    * reachable doc_id), one row per node that appears in any pair —
+    * equality on identical inputs is spec-asserted, including on the long
+    * chain where the propagation variant fails fast. */
+  def dupClustersStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.where(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    // the star steps need every node's FULL neighborhood, so edges are kept
+    // canonical (u < v, distinct) between rounds and expanded to both
+    // directions inside each step from one reference
+    def bothDirs(df: DataFrame): DataFrame =
+      df.select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+    // each star step: per-node neighborhood minimum (one map-combinable
+    // aggregate) joined back to the directed edge list ON THE SAME KEY —
+    // co-partitioned, so the join adds no extra shuffle, and no node's
+    // neighborhood ever materializes in one buffer (the skew-safety the
+    // algorithm exists for: a 10^8-degree hub streams through its
+    // partition instead of collecting)
+    def star(df: DataFrame, large: Boolean): DataFrame = {
+      val dirs = bothDirs(df)
+      val mins = dirs.groupBy(col("a"))
+        .agg(min(col("b")).as("nmin"))
+        .select(col("a"), least(col("a"), col("nmin")).as("m"))
+      val nbrs = dirs.join(mins, "a")
+      val linked =
+        if (large) nbrs.where(col("b") > col("a"))
+          .select(col("b").as("u"), col("m").as("v"))
+        else nbrs.where(col("b") <= col("a"))
+          .select(col("b").as("u"), col("m").as("v"))
+          .unionAll(mins.select(col("a").as("u"), col("m").as("v")))
+      canon(linked)
+    }
+    // every round ends in localCheckpoint, NOT persist: star() references
+    // its input TWICE (neighborhood minima + the edge join), so the chained
+    // logical plan would QUADRUPLE per round (two star steps/round) — by
+    // round 8 that is a ~4^8-node plan that exhausts the heap just being
+    // stringified, while the checkpoint cuts each round to a LogicalRDD +
+    // two star steps (same lesson as Bpe.train; production: reliable
+    // checkpoint() for fault-tolerance)
+    var edges = canon(pairs.select(col("doc_id_a").as("u"), col("doc_id_b").as("v")))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done) {
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(true)
+      // fixpoint: the canonical edge set did not change this round
+      val changed = next.exceptAll(edges).limit(1).count() +
+        edges.exceptAll(next).limit(1).count()
+      if (changed == 0) done = true
+      else {
+        edges = next
+        iter += 1
+        if (iter >= maxIter)
+          throw new IllegalStateException(
+            s"dupClustersStar did not converge in $maxIter rounds")
+      }
+    }
+    // at the fixpoint the graph is a union of stars rooted at component
+    // minima: every node's min neighbor (or itself) is its component min
+    bothDirs(edges)
+      .groupBy(col("a").as("doc_id"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("cluster_id"))
+  }
+
   /** documents rewritten as newline-joined lines with deterministic
     * boilerplate injections (the sandbox corpus is single-line):
     * doc_id%7=0 docs gain a newsletter header + copyright footer,

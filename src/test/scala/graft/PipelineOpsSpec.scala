@@ -93,6 +93,90 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF×SQ8 recall vs full-precision IVF: $recall")
   }
 
+  test("full triage: all families compose, flags match injections, precedence holds") {
+    val out = Curation.decisionsFull(documents).cache()
+    assert(out.count() == Dedup.corpusWithNearDups(documents).count(),
+      "exactly one verdict per corpus doc")
+    // deterministic PII injection rows are flagged
+    assert(out.where((col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5) &&
+      col("pii_found") =!= 1).count() == 0)
+    // the eval docs themselves (raw %97 texts are IN the corpus bodies)
+    // must be contaminated
+    val rows = out.select("doc_id", "contaminated", "decision")
+      .as[(Long, Int, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val evalIds = documents.where(col("doc_id") % 97 === 0)
+      .select("doc_id").as[Long].collect()
+    assert(evalIds.nonEmpty)
+    evalIds.foreach { id =>
+      assert(rows(id)._1 == 1, s"eval doc $id must be contaminated")
+      assert(rows(id)._2 == "drop_neardup" || rows(id)._2 == "drop_contaminated")
+    }
+    // precedence consistency
+    assert(out.where(col("decision") === "drop_contaminated" &&
+      col("contaminated") === 0).count() == 0)
+    assert(out.where((!col("dup_keep")) =!= (col("decision") === "drop_neardup"))
+      .count() == 0)
+    assert(out.where(col("decision") === "drop_quality" &&
+      col("quality_ok") === 1).count() == 0)
+    // injected near-dup copies still drop first
+    documents.where(col("doc_id") % 50 === 0).select("doc_id").as[Long].collect()
+      .foreach(id => assert(rows(id + 1000000)._2 == "drop_neardup"))
+  }
+
+  test("star-contraction components == propagation components; chains converge") {
+    import graft.ops.Dedup
+    // mixed star/chain/pair graph — both variants agree
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (21L, 20L), (22L, 21L),
+      (22L, 23L), (5L, 6L))
+      .toDF("doc_id_a", "doc_id_b")
+    val star = Dedup.dupClustersStar(pairs).as[(Long, Long)].collect().toSet
+    val prop = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toSet
+    assert(star == prop && star.nonEmpty)
+    // the 40-node chain: beyond the propagation bound (dupClusters at
+    // maxIter=3 fails fast there — OpsSpec), but star contraction's
+    // O(log n) rounds converge comfortably
+    val chain = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_id_a", "doc_id_b")
+    val chainGot = Dedup.dupClustersStar(chain, maxIter = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(chainGot == (1L to 40L).map(i => (i, 1L)).toSet)
+    // on the real near-dup pair pipeline the two variants are identical
+    val realPairs = Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(documents))
+    val realStar = Dedup.dupClustersStar(realPairs).as[(Long, Long)].collect().toSet
+    val realProp = Dedup.dupClusters(realPairs).as[(Long, Long)].collect().toSet
+    assert(realStar == realProp && realStar.nonEmpty)
+  }
+
+  test("as-of join NULL contract: null right rows never match, null left rows keep NULL") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, Option(t(100)), "p1"),
+      (1L, Option.empty[Timestamp], "p2"),   // null left ts -> kept, no match
+      (2L, Option(t(100)), "p3"))
+      .toDF("k", "lts", "pid")
+    val right = Seq(
+      (Option(1L), Option(t(50)), 10L),
+      (Option(1L), Option.empty[Timestamp], 11L), // null right ts -> never matches
+      (Option.empty[Long], Option(t(40)), 12L),   // null right key -> never matches
+      (Option(2L), Option(t(200)), 13L))          // after the left row -> no match
+      .toDF("k", "rts", "cid")
+    val got = AsOf.asOfJoin(left, right, key = "k", leftTs = "lts", rightTs = "rts",
+      rightTiebreak = Some("cid"))
+      .select(col("pid"), col("asof.cid").as("cid"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(got == Map("p1" -> Some(10L), "p2" -> None, "p3" -> None))
+    // a left relation already using the output name fails fast
+    intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left.withColumnRenamed("pid", "asof"), right,
+        key = "k", leftTs = "lts", rightTs = "rts")
+    }
+    // and a custom output name sidesteps the collision
+    val renamed = AsOf.asOfJoin(left.withColumnRenamed("pid", "asof"), right,
+      key = "k", leftTs = "lts", rightTs = "rts", asofCol = "matched")
+    assert(renamed.columns.contains("matched") && renamed.count() == 3)
+  }
+
   test("persisted tf table: identical stats to the direct ops, zero re-tokenization") {
     val path = Files.createTempDirectory("graft-tf").toString + "/tf"
     TextAnalysis.buildTfTable(documents, path)

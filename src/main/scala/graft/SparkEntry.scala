@@ -290,6 +290,14 @@ object SparkEntry {
       val docs = graft.data.Tables.read(s, d, "documents")
       ops.Curation.decontaminate(docs, docs.where(col("doc_id") % 97 === 0))
     }),
+    // the zero-join bloom-filter variant (Dolma scale shape): eval shingle
+    // hashes folded into one broadcast blob, row-local membership count;
+    // rows-only (superset-of-exact + FP bound spec-asserted — Spark's
+    // internal bloom layout is not SQL-reproducible)
+    "decontaminate_bloom" -> ((s, d) => {
+      val docs = graft.data.Tables.read(s, d, "documents")
+      ops.Curation.decontaminateBloom(docs, docs.where(col("doc_id") % 97 === 0))
+    }),
     // SemDeDup-style semantic near-dup pairs: coarse-quantizer cells +
     // within-cell exact cosine
     "dedup_semantic" -> ((s, d) =>

@@ -112,6 +112,46 @@ object Curation {
           .as("contam_ratio"))
   }
 
+  /** Bloom-filter decontamination — the Dolma-shape SCALE path for the
+    * same contract as [[decontaminate]]: the eval set's distinct shingle
+    * hashes fold into ONE serialized Bloom filter (Spark's native
+    * mergeable BloomFilterAggregate; ~20 bits/item ≈ fpp 7e-5, a 2.5 MB
+    * blob per 10^6 eval shingles), the blob ships to every task as a
+    * literal, and contamination becomes a ROW-LOCAL HOF count over each
+    * doc's shingle array — ZERO joins, zero corpus shuffle, one corpus
+    * scan, where the exact variant explodes the corpus and regroups it
+    * per doc. Bloom membership admits false POSITIVES only, so the
+    * flagged set is a SUPERSET of the exact one (never misses real
+    * contamination — the right direction for a drop-list; spec-asserted
+    * along with an FP bound). Registered rows-only: the oracle harness
+    * cannot reproduce Spark's internal bloom hash layout in SQL.
+    *
+    * Two driver actions on the EVAL side only (count to size the filter,
+    * then the fold) — the eval set is the tiny fixed benchmark suite, as
+    * in [[decontaminate]]. */
+  def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame,
+                         minMatches: Int = 1, bitsPerItem: Long = 20L): DataFrame = {
+    val evalHashes = evalDocs
+      .select(explode_outer(Dedup.shingles(col("text"))).as("s"))
+      .where(col("s").isNotNull)
+      .select(xxhash64(col("s")).as("h")).distinct()
+    val nItems = evalHashes.count()
+    require(nItems > 0, "decontaminateBloom: empty eval set")
+    val blob = evalHashes
+      .select(graft.functions.BloomExprs
+        .bloomAgg(col("h"), nItems, nItems * bitsPerItem).as("b"))
+      .head().getAs[Array[Byte]](0)
+    corpus
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        size(filter(col("sh"), s => graft.functions.BloomExprs
+          .mightContain(lit(blob), xxhash64(s)))).as("n_contam"))
+      .where(col("n_contam") >= minMatches)
+      .select(col("doc_id"), col("n_shingles"), col("n_contam"),
+        round(col("n_contam").cast("double") / col("n_shingles"), 6)
+          .as("contam_ratio"))
+  }
+
   /** Classifier-based quality filtering (the DCLM / fineweb-edu shape):
     * cheap structural heuristics provide WEAK LABELS, a logistic regression
     * learns a smooth quality score from row-local features, and the score —

@@ -177,6 +177,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(renamed.columns.contains("matched") && renamed.count() == 3)
   }
 
+  test("bloom decontamination: superset of exact, bounded false positives, no joins") {
+    val eval = documents.where(col("doc_id") % 97 === 0)
+    val exact = Curation.decontaminate(documents, eval)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Curation.decontaminateBloom(documents, eval)
+    val bloomIds = bloom.select("doc_id").as[Long].collect().toSet
+    // no false negatives: every truly contaminated doc is flagged
+    assert(exact.subsetOf(bloomIds),
+      s"bloom missed ${(exact -- bloomIds).take(5)} — bloom filters cannot have FNs")
+    // bounded false positives (fpp ~7e-5 per shingle at 20 bits/item)
+    val nDocs = documents.count()
+    assert((bloomIds -- exact).size <= math.max(2, nDocs / 20),
+      s"too many bloom FPs: ${(bloomIds -- exact).size} of $nDocs docs")
+    // the plan is join-free: one corpus scan, row-local membership
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"bloom decontamination must not join:\n$plan")
+    // and per-doc counts agree with exact on the non-FP rows
+    val exactCounts = Curation.decontaminate(documents, eval)
+      .select("doc_id", "n_contam").as[(Long, Int)].collect().toMap
+    bloom.select("doc_id", "n_contam").as[(Long, Int)].collect()
+      .filter(r => exact.contains(r._1))
+      .foreach { case (id, n) =>
+        assert(n >= exactCounts(id), s"doc $id: bloom count below exact")
+      }
+  }
+
   test("persisted tf table: identical stats to the direct ops, zero re-tokenization") {
     val path = Files.createTempDirectory("graft-tf").toString + "/tf"
     TextAnalysis.buildTfTable(documents, path)

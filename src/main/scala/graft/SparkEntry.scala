@@ -168,6 +168,12 @@ object SparkEntry {
       ops.Dedup.lineDedup(
         ops.Dedup.corpusWithBoilerplateLines(
           graft.data.Tables.read(s, d, "documents")))),
+    // exact-substring span removal (Lee et al. 2022 shape): 8-token windows
+    // in >= 2 distinct docs mark positions; maximal spans reported+stripped
+    "dedup_spans" -> ((s, d) =>
+      ops.Dedup.spanDedup(
+        ops.Dedup.corpusWithSharedPassages(
+          graft.data.Tables.read(s, d, "documents")))),
     // ---- training-data pipeline: similarity search ------------------------
     "sim_topk_bruteforce" -> ((s, d) =>
       ops.Similarity.cosineTopK(graft.data.Tables.read(s, d, "embeddings"))),
@@ -702,6 +708,52 @@ object SparkEntry {
           |  CAST(n_lines - count(*) AS INT) AS n_removed,
           |  array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean
           |FROM kp GROUP BY doc_id, n_lines""".stripMargin,
+      // oracle: same passage injection and window document-frequency, then
+      // an INDEPENDENT span derivation — classic SQL gaps-and-islands
+      // (c - row_number() island keys) where the Spark side folds arrays
+      // row-locally; agreement across the two methods is the point
+      "dedup_spans" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, concat_ws(' ',
+          |    CASE WHEN doc_id % 13 = 0 THEN
+          |      'the quick brown fox jumps over the lazy dog again and again' END,
+          |    text,
+          |    CASE WHEN doc_id % 17 = 0 THEN
+          |      'all rights reserved unauthorized reproduction of this text is strictly prohibited' END)
+          |    AS text
+          |  FROM documents),
+          |tok AS (SELECT doc_id,
+          |          list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+          |        FROM corpus),
+          |w2 AS (SELECT doc_id, p, array_to_string(t[p:p+7], ' ') AS w
+          |       FROM (SELECT doc_id, t,
+          |               unnest(generate_series(1, len(t) - 7)) AS p
+          |             FROM tok WHERE len(t) >= 8)),
+          |hv AS (SELECT w FROM (SELECT DISTINCT doc_id, w FROM w2)
+          |       GROUP BY w HAVING count(*) >= 2),
+          |cvd AS (SELECT DISTINCT doc_id, c FROM
+          |         (SELECT doc_id, unnest(generate_series(p, p + 7)) AS c
+          |          FROM w2 JOIN hv USING (w))),
+          |isl AS (SELECT doc_id, c,
+          |          c - row_number() OVER (PARTITION BY doc_id ORDER BY c) AS g
+          |        FROM cvd),
+          |sp AS (SELECT doc_id, min(c) AS s, max(c) AS e
+          |       FROM isl GROUP BY doc_id, g),
+          |ag AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+          |         string_agg(s || '-' || e, ';' ORDER BY s) AS spans
+          |       FROM sp GROUP BY doc_id),
+          |cl AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_tokens,
+          |         list(c) AS cs
+          |       FROM cvd GROUP BY doc_id)
+          |SELECT tok.doc_id, CAST(len(t) AS INT) AS n_tokens,
+          |  coalesce(ag.n_dup_spans, 0) AS n_dup_spans,
+          |  coalesce(cl.n_dup_tokens, 0) AS n_dup_tokens,
+          |  coalesce(ag.spans, '') AS spans,
+          |  coalesce(array_to_string(list_transform(
+          |    list_filter(generate_series(1, len(t)),
+          |      i -> cl.cs IS NULL OR NOT list_contains(cl.cs, i)),
+          |    i -> t[i]), ' '), '') AS text_clean
+          |FROM tok LEFT JOIN ag USING (doc_id) LEFT JOIN cl USING (doc_id)""".stripMargin,
       // oracle: recompute the FNV-1a-64 token hashes and simhash signatures
       // in HUGEINT arithmetic mod 2^64, then exhaustive all-pairs Hamming
       // <= 7 — exact, because 8x8-bit chunk bucketing is pigeonhole-exact

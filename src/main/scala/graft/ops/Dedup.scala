@@ -512,4 +512,108 @@ object Dedup {
       .select(col("doc_id"), col("n_lines"),
         (col("n_lines") - col("n_kept")).as("n_removed"), col("text_clean"))
   }
+
+  /** documents with deterministic shared passages injected — the repeated
+    * licence blurbs / syndicated paragraphs an exact-substring pass strips
+    * (the sandbox corpus has no cross-document passages of its own):
+    * doc_id%13=0 docs gain a 12-token leading passage, doc_id%17=0 an
+    * 11-token trailing one. concat_ws skips NULL branches in both engines,
+    * keeping the injection SQL-recomputable. */
+  def corpusWithSharedPassages(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat_ws(" ",
+        when(col("doc_id") % 13 === 0,
+          lit("the quick brown fox jumps over the lazy dog again and again")),
+        col("text"),
+        when(col("doc_id") % 17 === 0,
+          lit("all rights reserved unauthorized reproduction of this text is strictly prohibited")))
+        .as("text"))
+
+  /** Duplicated-SPAN removal — the exact-substring dedup of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"), at word
+    * granularity: every window of `k` consecutive tokens that occurs in
+    * >= minDocFreq DISTINCT documents marks its k token positions as
+    * duplicated; per doc, marked positions merge into maximal contiguous
+    * spans which are reported and stripped. Doc-level dedup (minhash/
+    * simhash) misses this entirely — two unique articles sharing one
+    * syndicated paragraph are <1% Jaccard yet still leak the paragraph
+    * into training data verbatim many times.
+    *
+    * Scale shape (the suffix-array of the paper does not distribute; the
+    * window-hash formulation is the standard cluster equivalent): pass 1
+    * explodes per-doc DISTINCT windows and hash-aggregates to document
+    * frequency (map-side combine; the heavy set is bounded by
+    * totalWindows/minDocFreq). Pass 2 explodes windows WITH positions (the
+    * window array is materialized as an attribute below the generator so
+    * CollapseProject cannot re-evaluate it per exploded row), semi-joins
+    * the heavy set (AQE broadcasts it when it fits, degrades to shuffle
+    * when not — never forced), aggregates duplicated starts per doc
+    * (buffer bounded by a single doc's window count), and joins back to
+    * the corpus on doc_id — ONE keyed shuffle — where span merging, span
+    * counting, and text cleaning are all row-local array folds. Grouping
+    * keys are the window STRINGS for oracle parity (same convention as
+    * [[lineDedup]]); the production variant narrows the shuffle 4-8x by
+    * keying on xxhash64(window) — mechanical, collision odds ~1e-8 at
+    * 10^12 windows.
+    *
+    * Output per doc (all docs, including untouched ones): n_tokens,
+    * n_dup_spans, n_dup_tokens, spans "s-e;s-e" (1-based inclusive),
+    * text_clean with duplicated positions removed. Integer/string-valued
+    * throughout -> hash-exact against a gaps-and-islands SQL oracle. */
+  def spanDedup(corpus: DataFrame, k: Int = 8, minDocFreq: Int = 2): DataFrame = {
+    // struct(p, w) windows, 1-based start positions; [] for short docs
+    def windows(t: Column): Column =
+      when(size(t) >= k,
+        transform(sequence(lit(1), size(t) - (k - 1)), i =>
+          struct(i.as("p"), concat_ws(" ", slice(t, i, lit(k))).as("w"))))
+        .otherwise(array().cast("array<struct<p:int,w:string>>"))
+
+    val win = corpus
+      .select(col("doc_id"), windows(tokens(col("text"))).as("ws"))
+      .select(col("doc_id"), explode_outer(col("ws")).as("win"))
+      .where(col("win").isNotNull)
+      .select(col("doc_id"), col("win.p").as("p"), col("win.w").as("w"))
+    val heavy = win
+      .select(col("doc_id"), col("w")).distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select("w")
+    val dupStarts = win
+      .join(heavy, Seq("w"), "left_semi")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("p"))).as("starts"))
+
+    val t = tokens(col("text"))
+    val c = col("c") // sorted distinct duplicated positions
+    val m = size(c)
+    // island starts/ends as indexes into c; when() keeps boundary probes
+    // lazy, and the m>=1 guard dodges sequence(1,0) running DESCENDING
+    // (same trap shingles() documents) plus ANSI element_at on index 0
+    def guarded(body: Column): Column =
+      when(m >= 1, body).otherwise(array().cast("array<int>"))
+    val st = guarded(filter(sequence(lit(1), m), j =>
+      when(j === 1, lit(true))
+        .otherwise(element_at(c, j - 1) + 1 =!= element_at(c, j))))
+    val en = guarded(filter(sequence(lit(1), m), j =>
+      when(j === m, lit(true))
+        .otherwise(element_at(c, j + 1) =!= element_at(c, j) + 1)))
+    corpus
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), t.as("t"),
+        array_sort(array_distinct(flatten(transform(
+          coalesce(col("starts"), array().cast("array<int>")),
+          p => sequence(p, p + (k - 1)))))).as("c"))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(st).cast("int").as("n_dup_spans"),
+        m.as("n_dup_tokens"),
+        concat_ws(";", zip_with(st, en, (a, b) =>
+          concat_ws("-", element_at(c, a), element_at(c, b)))).as("spans"),
+        when(size(col("t")) >= 1,
+          concat_ws(" ", transform(
+            filter(sequence(lit(1), size(col("t"))), i => !array_contains(c, i)),
+            i => element_at(col("t"), i))))
+          .otherwise(lit("")).as("text_clean"))
+  }
 }

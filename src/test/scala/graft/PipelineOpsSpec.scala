@@ -177,6 +177,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(renamed.columns.contains("matched") && renamed.count() == 3)
   }
 
+  test("span dedup: exact islands on a hand-built corpus") {
+    val s8 = (1 to 8).map(i => s"s$i").mkString(" ")   // one shared window
+    val t8 = (1 to 8).map(i => s"t$i").mkString(" ")   // a second one
+    val n9 = (1 to 9).map(i => s"n$i").mkString(" ")   // 9 tokens -> 2 overlapping windows
+    val corpus = Seq(
+      1L -> s"u1 u2 $s8 u3",        // shared window at 3..10
+      2L -> s"$s8 v1 v2",           // at 1..8
+      3L -> "w1 w2 w3",             // short doc: no windows at all
+      4L -> s"$s8 z1 z2 $t8",       // two islands
+      5L -> t8,                     // fully covered
+      6L -> s"m1 $n9",              // overlapping windows merge: 2..10
+      7L -> s"$n9 m2"               // 1..9
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus).cache()
+    val got = out
+      .select("doc_id", "n_tokens", "n_dup_spans", "n_dup_tokens", "spans", "text_clean")
+      .as[(Long, Int, Int, Int, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 11, 1, 8, "3-10", "u1 u2 u3")))
+    assert(got(2L) == ((2L, 10, 1, 8, "1-8", "v1 v2")))
+    assert(got(3L) == ((3L, 3, 0, 0, "", "w1 w2 w3")))
+    assert(got(4L) == ((4L, 18, 2, 16, "1-8;11-18", "z1 z2")))
+    assert(got(5L) == ((5L, 8, 1, 8, "1-8", "")))
+    assert(got(6L) == ((6L, 10, 1, 9, "2-10", "m1")))
+    assert(got(7L) == ((7L, 10, 1, 9, "1-9", "m2")))
+    // span merging is a row-local array fold — no window operator anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"spanDedup must stay window-free:\n$plan")
+  }
+
+  test("span dedup flags the injected shared passages across the corpus") {
+    val out = Dedup.spanDedup(Dedup.corpusWithSharedPassages(documents)).cache()
+    assert(out.count() == documents.count())
+    val lead = documents.where(col("doc_id") % 13 === 0).count()
+    val trail = documents.where(col("doc_id") % 17 === 0).count()
+    assert(lead >= 2 && trail >= 2, "fixture sanity: both passages must recur")
+    // every leading-passage doc: its 12 tokens are one island starting at 1
+    out.where(col("doc_id") % 13 === 0).select("spans", "n_dup_tokens")
+      .as[(String, Int)].collect().foreach { case (sp, nd) =>
+        assert(sp.startsWith("1-") && nd >= 12, s"lead passage not flagged: $sp")
+      }
+    // every trailing-passage doc: an island ending at the final token
+    out.where(col("doc_id") % 17 === 0).select("n_tokens", "spans", "n_dup_tokens")
+      .as[(Int, String, Int)].collect().foreach { case (n, sp, nd) =>
+        assert(sp.endsWith(s"-$n") && nd >= 11, s"trail passage not flagged: $sp")
+      }
+    // untouched docs round-trip (modulo the canonical single-space join)
+    val untouched = out.where(col("n_dup_tokens") === 0)
+      .join(documents, "doc_id")
+      .where(col("text_clean") =!=
+        concat_ws(" ", filter(split(col("text"), " "), t => length(t) > 0)))
+    assert(untouched.count() == 0)
+    // accounting: n_dup_tokens always equals the summed span lengths
+    val bad = out.where(col("n_dup_spans") > 0).where(
+      aggregate(transform(split(col("spans"), ";"), s =>
+        element_at(split(s, "-"), 2).cast("int") -
+          element_at(split(s, "-"), 1).cast("int") + 1),
+        lit(0), (a, x) => a + x) =!= col("n_dup_tokens"))
+    assert(bad.count() == 0, "span lengths must sum to n_dup_tokens")
+  }
+
   test("bloom decontamination: superset of exact, bounded false positives, no joins") {
     val eval = documents.where(col("doc_id") % 97 === 0)
     val exact = Curation.decontaminate(documents, eval)

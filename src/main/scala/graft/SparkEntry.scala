@@ -174,6 +174,17 @@ object SparkEntry {
       ops.Dedup.spanDedup(
         ops.Dedup.corpusWithSharedPassages(
           graft.data.Tables.read(s, d, "documents")))),
+    // incremental near-dup: persist the corpus band index once, then dedupe
+    // a new crawl batch against it (new-vs-corpus + new-vs-new) without
+    // re-minhashing the corpus — the nightly-ingest production path
+    "dedup_incremental" -> ((s, d) => {
+      val docs = graft.data.Tables.read(s, d, "documents")
+      val old = docs.select(col("doc_id"), col("text"))
+      val path = s"/tmp/graft_minhash_index_${Integer.toHexString(d.hashCode)}"
+      ops.Dedup.minhashBuildIndex(old, path)
+      ops.Dedup.minhashIncrementalPairs(
+        s, path, ops.Dedup.corpusIncrementalBatch(docs), old)
+    }),
     // ---- training-data pipeline: similarity search ------------------------
     "sim_topk_bruteforce" -> ((s, d) =>
       ops.Similarity.cosineTopK(graft.data.Tables.read(s, d, "embeddings"))),
@@ -754,6 +765,30 @@ object SparkEntry {
           |      i -> cl.cs IS NULL OR NOT list_contains(cl.cs, i)),
           |    i -> t[i]), ' '), '') AS text_clean
           |FROM tok LEFT JOIN ag USING (doc_id) LEFT JOIN cl USING (doc_id)""".stripMargin,
+      // oracle: exhaustive exact jaccard over (corpus UNION batch),
+      // restricted to pairs with >= 1 batch member — with doc_id_a <
+      // doc_id_b and all batch ids >= 1e6 > every corpus id, that is
+      // exactly b.doc_id >= 1e6. Independent of the index/banding path.
+      "dedup_incremental" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text || ' near dup copy tail'
+          |  FROM documents WHERE doc_id%50=0
+          |  UNION ALL SELECT doc_id + 2000000, text || ' second near dup tail'
+          |  FROM documents WHERE doc_id%100=0),
+          |tok AS (SELECT doc_id,
+          |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS t FROM corpus),
+          |sh AS (SELECT doc_id,
+          |       list_distinct(list_transform(generate_series(1, len(t)-2),
+          |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          |       FROM tok WHERE len(t) >= 3)
+          |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+          |  CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_inter,
+          |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INT) AS n_union
+          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |WHERE b.doc_id >= 1000000
+          |  AND 10 * len(list_intersect(a.sh, b.sh))
+          |   >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))""".stripMargin,
       // oracle: recompute the FNV-1a-64 token hashes and simhash signatures
       // in HUGEINT arithmetic mod 2^64, then exhaustive all-pairs Hamming
       // <= 7 — exact, because 8x8-bit chunk bucketing is pigeonhole-exact

@@ -238,6 +238,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad.count() == 0, "span lengths must sum to n_dup_tokens")
   }
 
+  test("incremental minhash dedup equals the one-shot pipeline restricted to batch pairs") {
+    val docs = documents.select(col("doc_id"), col("text"))
+    val batch = Dedup.corpusIncrementalBatch(documents)
+    val path = Files.createTempDirectory("graft-mhidx").toString + "/idx"
+    Dedup.minhashBuildIndex(docs, path)
+    val inc = Dedup.minhashIncrementalPairs(spark, path, batch, docs).cache()
+    // one-shot over the union, restricted to pairs touching the batch
+    // (batch ids are all >= 1e6 > any corpus id, so b >= 1e6 <=> >=1 new)
+    val full = Dedup.minhashLshPairs(docs.unionAll(batch))
+      .where(col("doc_id_b") >= 1000000)
+    assert(inc.count() > 0, "fixture sanity: batch must collide with corpus")
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0,
+      "incremental pairs must equal batch-restricted one-shot pairs")
+    // the corpus text/banding is never re-scanned wholesale: the index
+    // parquet is read exactly once, and the only other corpus access is
+    // the candidate-sized verify lookup. Pre-execution plan: an executed
+    // AQE tree prints Final AND Initial sections (path counted twice).
+    val plan = Dedup.minhashIncrementalPairs(spark, path, batch, docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.split(java.util.regex.Pattern.quote(path)).length - 1 == 1,
+      s"index must be scanned exactly once:\n$plan")
+  }
+
+  test("index append folds a batch in; the next batch dedupes against both") {
+    val docs = documents.select(col("doc_id"), col("text"))
+    val b1 = Dedup.corpusIncrementalBatch(documents)
+    val path = Files.createTempDirectory("graft-mhidx2").toString + "/idx"
+    Dedup.minhashBuildIndex(docs, path)
+    Dedup.minhashAppendToIndex(b1, path)
+    // second nightly batch: fresh near-dup copies of doc_id%100=0 (+3M)
+    val b2 = documents.where(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(col("text"), lit(" third tail of the batch")).as("text"))
+    val inc2 = Dedup.minhashIncrementalPairs(
+      spark, path, b2, docs.unionAll(b1)).cache()
+    val n100 = documents.where(col("doc_id") % 100 === 0
+      && size(filter(split(col("text"), " "), t => length(t) > 0)) >= 20).count()
+    // each +3M doc must pair with: its base (corpus) AND both earlier
+    // copies (+1M, +2M — found only via the APPENDED index rows)
+    assert(inc2.where(col("doc_id_a") < 1000000).count() >= n100)
+    assert(inc2.where(col("doc_id_a").between(1000000, 1999999)).count() >= n100,
+      "pairs against the appended first batch must be found")
+    assert(inc2.where(col("doc_id_a").between(2000000, 2999999)).count() >= n100)
+    // and never an old-old pair: every emitted pair touches the new batch
+    assert(inc2.where(col("doc_id_b") < 3000000).count() == 0)
+  }
+
   test("bloom decontamination: superset of exact, bounded false positives, no joins") {
     val eval = documents.where(col("doc_id") % 97 === 0)
     val exact = Curation.decontaminate(documents, eval)

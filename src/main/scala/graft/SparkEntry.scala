@@ -277,6 +277,11 @@ object SparkEntry {
     "sample_quota" -> ((s, d) =>
       ops.Sampling.quotaPerStratum(
         graft.data.Tables.read(s, d, "documents"), col("lang"))),
+    // data mixing: deterministic per-language token-budget downsampling
+    // (integer basis-point rates; row-local keep decisions)
+    "sample_mixture" -> ((s, d) =>
+      ops.Sampling.sampleMixture(
+        graft.data.Tables.read(s, d, "documents"), col("lang"))),
     // intra-doc repetition removal: first-occurrence token filter, row-local
     "text_repetition" -> ((s, d) =>
       ops.Sampling.repetition(graft.data.Tables.read(s, d, "documents"))),
@@ -1088,6 +1093,30 @@ object SparkEntry {
           |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
           |      FROM h)
           |WHERE rk <= 10""".stripMargin),
+      // oracle: per-language token totals -> integer basis-point keep rate
+      // (HUGEINT // in DuckDB, long `div` in Spark — both exact), md5
+      // bucket with the ':mix' salt recomputed hex-digit by hex-digit
+      "sample_mixture" ->
+        """WITH tok AS (SELECT doc_id, lang,
+          |        CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT)
+          |          AS n_tokens
+          |        FROM documents),
+          |tot AS (SELECT lang, sum(n_tokens) AS total FROM tok GROUP BY lang),
+          |r AS (SELECT lang,
+          |        CAST(coalesce(least(10000, (5000 * 10000) // total), 10000) AS INT)
+          |          AS rate_bp
+          |      FROM tot),
+          |h AS (SELECT doc_id,
+          |  list_reduce(list_transform(generate_series(1, 8),
+          |    i -> CAST(strpos('0123456789abcdef',
+          |           substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), i, 1)) - 1
+          |         AS BIGINT)),
+          |    (a, b) -> a * 16 + b) AS hv
+          |  FROM documents)
+          |SELECT tok.doc_id, tok.lang AS stratum,
+          |  CAST(tok.n_tokens AS INT) AS n_tokens, r.rate_bp,
+          |  (h.hv % 10000) < r.rate_bp AS keep
+          |FROM tok JOIN r USING (lang) JOIN h USING (doc_id)""".stripMargin,
       // oracle: first-occurrence token filter via list_position — the same
       // portable-SQL semantics the Spark side uses (array_position == idx)
       "text_repetition" ->

@@ -148,4 +148,40 @@ object Sampling {
           .as("dup_ratio"),
         concat_ws(" ", col("kept")).as("text_dedup"))
   }
+
+  /** Corpus mixture resampling — the "data mixing" step that shapes a
+    * training corpus to per-stratum TOKEN budgets (per-language /
+    * per-source proportions), deterministically. Each stratum's keep rate
+    * is the integer basis-point floor(budget*10000 / stratum_tokens),
+    * clamped to 10000; a doc is kept iff its md5 basis-point bucket
+    * ([[hashBucket]], salted) falls under the rate. Exact integer
+    * arithmetic end to end (the `div` integral divide, exact past 2^53
+    * where a double quotient is not) — the assignment is engine-portable
+    * auditable truth, like [[hashSplit]]. Expected kept tokens per stratum
+    * = budget up to hash-uniformity noise; identical decisions on any
+    * cluster size or re-run.
+    *
+    * Scale shape: one map-side-combined aggregate to a STRATA-sized rate
+    * table (driver-scale), joined back (AQE broadcasts it — never the
+    * corpus side); the keep decision is row-local. The corpus is tokenized
+    * twice (totals pass + decision pass) — same two-phase tradeoff as
+    * [[packContiguous]], and same remedy at production scale: persist the
+    * (doc_id, stratum, n_tokens) projection once via TableIO. */
+  def sampleMixture(corpus: DataFrame, stratum: Column,
+                    budgetTokens: Long = 5000,
+                    salt: String = "mix"): DataFrame = {
+    require(budgetTokens >= 0)
+    def withTok = corpus.select(col("doc_id"), stratum.as("stratum"),
+      size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+    val rates = withTok
+      .groupBy("stratum")
+      .agg(sum(col("n_tokens")).as("total_tokens"))
+      .selectExpr("stratum",
+        s"CAST(coalesce(least(10000L, (${budgetTokens}L * 10000L) div total_tokens), 10000L) AS INT) AS rate_bp")
+    withTok
+      .join(rates, "stratum")
+      .select(col("doc_id"), col("stratum"),
+        col("n_tokens").cast("int").as("n_tokens"), col("rate_bp"),
+        (hashBucket(col("doc_id"), salt) < col("rate_bp")).as("keep"))
+  }
 }

@@ -285,6 +285,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(inc2.where(col("doc_id_b") < 3000000).count() == 0)
   }
 
+  test("mixture sampling: exact rates, nested samples, budget edge cases") {
+    val out = Sampling.sampleMixture(documents, col("lang")).cache()
+    assert(out.count() == documents.count())
+    // rate_bp is the exact integral identity, one rate per stratum
+    val totals = documents.groupBy(col("lang").as("stratum")).agg(
+      sum(size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long"))
+        .as("total"))
+    val bad = out.select("stratum", "rate_bp").distinct()
+      .join(totals, "stratum")
+      .where(col("rate_bp") =!=
+        least(lit(10000L), expr("(5000 * 10000) div total")).cast("int"))
+    assert(bad.count() == 0, "rate_bp must equal least(10000, budget*1e4 div total)")
+    // samples NEST across budgets (bucket < rate): smaller budget keeps a
+    // subset of the larger budget's keeps — the property that lets a
+    // pipeline shrink a mixture without resampling from scratch
+    val small = Sampling.sampleMixture(documents, col("lang"), budgetTokens = 1000)
+      .where(col("keep")).select("doc_id")
+    val large = out.where(col("keep")).select("doc_id")
+    assert(small.exceptAll(large).count() == 0, "samples must nest across budgets")
+    // edges: zero budget keeps nothing; a budget >= every stratum total
+    // keeps everything at rate 10000
+    assert(Sampling.sampleMixture(documents, col("lang"), budgetTokens = 0)
+      .where(col("keep")).count() == 0)
+    val all = Sampling.sampleMixture(documents, col("lang"), budgetTokens = 1L << 40)
+    assert(all.where(!col("keep")).count() == 0
+      && all.select("rate_bp").distinct().count() == 1)
+  }
+
   test("bloom decontamination: superset of exact, bounded false positives, no joins") {
     val eval = documents.where(col("doc_id") % 97 === 0)
     val exact = Curation.decontaminate(documents, eval)

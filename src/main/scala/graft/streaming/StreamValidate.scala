@@ -69,6 +69,29 @@ object StreamValidate {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-dup FLAGGING against the persisted minhash band index
+    * ([[graft.ops.Dedup.minhashBuildIndex]]): each micro-batch of documents
+    * is banded row-locally (the same compiled MinHashBands kernel batch
+    * uses — [[graft.ops.Dedup.minhashBanded]] is a pure projection, so it
+    * runs unchanged on a streaming relation) and left-semi stream-static
+    * joined against the index — the ingestion-time "have we seen something
+    * like this" gate.
+    *
+    * Deliberately STATELESS: no watermark, no state store, bounded memory
+    * at any stream length. Emits one row per hit (doc_id, band, sig) —
+    * per-doc consolidation and exact-Jaccard verification belong to the
+    * batch layer ([[graft.ops.Dedup.minhashIncrementalPairs]] over the
+    * flagged set), because a per-doc streaming aggregate would need
+    * unbounded state for a keyless corpus. The static index side is
+    * planned once at query start (micro-batches see a consistent index
+    * snapshot; restart the query to pick up appended index rows). */
+  def nearDupFlagStream(spark: SparkSession, inputDir: String,
+                        indexPath: String): DataFrame =
+    graft.ops.Dedup.minhashBanded(
+        spark.readStream.schema(documentsSchema).parquet(inputDir))
+      .join(graft.engine.TableIO.read(spark, indexPath),
+        Seq("band", "sig"), "left_semi")
+
   /** Watermarked tumbling-window event metrics (1-day windows, 1-day
     * late-data tolerance) — streaming analog of the quarterly report. */
   def windowedEventCounts(spark: SparkSession, inputDir: String): DataFrame =

@@ -170,6 +170,47 @@ class StreamingAndMetricsSpec extends SparkSpec {
     assert(spark.table("stream_evdedup").count() == distinctIds)
   }
 
+  test("streaming near-dup flagging against the static band index, cross-batch") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val idx = Files.createTempDirectory("graft-stream-mhidx").toString + "/idx"
+    graft.ops.Dedup.minhashBuildIndex(docs, idx)
+    // incoming crawl: near-dup copies of indexed docs, full source schema
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" near dup copy tail")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    def stagePart(df: org.apache.spark.sql.DataFrame, name: String,
+                  watched: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-flag-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$watched/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val watched = Files.createTempDirectory("graft-stream-flag").toString
+    stagePart(batch.where(col("doc_id") % 100 === 0), "a", watched)
+    val q = StreamValidate.nearDupFlagStream(spark, watched, idx)
+      .writeStream.format("memory").queryName("stream_flag")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch arrives only after the first completes
+      stagePart(batch.where(col("doc_id") % 100 =!= 0), "b", watched)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_flag").select("doc_id", "band", "sig")
+    val expected = graft.ops.Dedup.minhashBanded(batch)
+      .join(spark.read.parquet(idx), Seq("band", "sig"), "left_semi")
+      .select("doc_id", "band", "sig")
+    assert(got.count() > 0, "fixture sanity: near-dup copies must flag")
+    assert(got.exceptAll(expected).count() == 0
+      && expected.exceptAll(got).count() == 0,
+      "streamed flags must equal the batch stream-static join")
+  }
+
   test("watermarked windowed event counts match the batch aggregation") {
     val dir = stage("events")
     val q = StreamValidate.windowedEventCounts(spark, dir)

@@ -282,6 +282,17 @@ object SparkEntry {
     "sample_mixture" -> ((s, d) =>
       ops.Sampling.sampleMixture(
         graft.data.Tables.read(s, d, "documents"), col("lang"))),
+    // pipeline sink: hash-sharded corpus write (dynamic partition
+    // overwrite via TableIO) + the per-shard audit manifest it returns
+    "shard_manifest" -> ((s, d) =>
+      ops.Sampling.writeShards(
+        graft.data.Tables.read(s, d, "documents"),
+        s"/tmp/graft_shards_${Integer.toHexString(d.hashCode)}")),
+    // CCNet-shaped LM-proxy: bigram model counted on the doc_id%10<8
+    // reference slice, every doc scored by bigram familiarity (integers)
+    "text_bigram_lm" -> ((s, d) =>
+      ops.TextAnalysis.bigramLmStats(
+        graft.data.Tables.read(s, d, "documents"), col("doc_id") % 10 < 8)),
     // intra-doc repetition removal: first-occurrence token filter, row-local
     "text_repetition" -> ((s, d) =>
       ops.Sampling.repetition(graft.data.Tables.read(s, d, "documents"))),
@@ -1117,6 +1128,39 @@ object SparkEntry {
           |  CAST(tok.n_tokens AS INT) AS n_tokens, r.rate_bp,
           |  (h.hv % 10000) < r.rate_bp AS keep
           |FROM tok JOIN r USING (lang) JOIN h USING (doc_id)""".stripMargin,
+      // oracle: md5 shard hash recomputed digit-by-digit with the ':shard'
+      // salt; hv is in [0, 2^32) so % equals pmod
+      "shard_manifest" ->
+        """WITH h AS (SELECT doc_id, text,
+          |  list_reduce(list_transform(generate_series(1, 8),
+          |    i -> CAST(strpos('0123456789abcdef',
+          |           substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), i, 1)) - 1
+          |         AS BIGINT)),
+          |    (a, b) -> a * 16 + b) AS hv
+          |  FROM documents)
+          |SELECT CAST(hv % 16 AS INT) AS shard,
+          |  count(*) AS n_docs,
+          |  CAST(sum(len(list_filter(string_split(text, ' '), w -> len(w) > 0)))
+          |    AS BIGINT) AS sum_tokens,
+          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+          |FROM h GROUP BY 1""".stripMargin,
+      // oracle: bigram model independently recounted on the %10<8 slice;
+      // docs under two tokens have no bigrams and are absent by contract
+      "text_bigram_lm" ->
+        """WITH tok AS (SELECT doc_id,
+          |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
+          |        FROM documents),
+          |bg AS (SELECT doc_id,
+          |         unnest(list_transform(generate_series(1, len(t)-1),
+          |           i -> t[i] || ' ' || t[i+1])) AS bigram
+          |       FROM tok WHERE len(t) >= 2),
+          |model AS (SELECT bigram, count(*) AS freq FROM bg
+          |          WHERE doc_id % 10 < 8 GROUP BY bigram)
+          |SELECT bg.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+          |  CAST(sum(CASE WHEN freq IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_known,
+          |  CAST(sum(CASE WHEN freq < 3 THEN 1 ELSE 0 END) AS INT) AS n_rare,
+          |  CAST(sum(coalesce(freq, 0)) AS BIGINT) AS ref_freq_sum
+          |FROM bg LEFT JOIN model USING (bigram) GROUP BY bg.doc_id""".stripMargin,
       // oracle: first-occurrence token filter via list_position — the same
       // portable-SQL semantics the Spark side uses (array_position == idx)
       "text_repetition" ->

@@ -167,6 +167,43 @@ object Sampling {
     * twice (totals pass + decision pass) — same two-phase tradeoff as
     * [[packContiguous]], and same remedy at production scale: persist the
     * (doc_id, stratum, n_tokens) projection once via TableIO. */
+  /** Deterministic shard assignment: pmod of the salted md5 hash — a pure
+    * row-local function of doc_id, so the same doc lands in the same shard
+    * on any cluster size, re-run, or engine (unlike spark_partition_id /
+    * round-robin, which are execution artifacts). */
+  def shardOf(docId: Column, nShards: Int, salt: String = "shard"): Column =
+    pmod(hashValue(docId, salt), lit(nShards.toLong)).cast("int")
+
+  /** Training-shard manifest: per-shard doc/token counts and id bounds —
+    * the audit table a shard writer publishes next to the data so a
+    * training job can size its readers without listing files. One
+    * map-side-combined aggregate to an nShards-row table; exact integers
+    * throughout. */
+  def shardManifest(corpus: DataFrame, nShards: Int = 16,
+                    salt: String = "shard"): DataFrame =
+    corpus
+      .select(shardOf(col("doc_id"), nShards, salt).as("shard"),
+        col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+
+  /** Write the corpus as `nShards` hash shards through the TableIO seam,
+    * partitioned by shard — the final sink of the curation pipeline
+    * (mixture-sampled docs land in fixed shards a trainer consumes with
+    * partition pruning, one directory per shard). Returns the manifest it
+    * also persists alongside (`<path>_manifest`). */
+  def writeShards(corpus: DataFrame, path: String, nShards: Int = 16,
+                  salt: String = "shard"): DataFrame = {
+    graft.engine.TableIO.overwritePartitions(
+      corpus.withColumn("shard", shardOf(col("doc_id"), nShards, salt)),
+      path, Seq("shard"))
+    val manifest = shardManifest(corpus, nShards, salt)
+    graft.engine.TableIO.write(manifest, s"${path}_manifest")
+    manifest
+  }
+
   def sampleMixture(corpus: DataFrame, stratum: Column,
                     budgetTokens: Long = 5000,
                     salt: String = "mix"): DataFrame = {

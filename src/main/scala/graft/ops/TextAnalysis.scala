@@ -263,4 +263,55 @@ object TextAnalysis {
           lit(0L), (acc, x) => acc + x),
         lit(1000003L)).as("fp_roll"))
   }
+
+  /** Adjacent word bigrams, in order (NOT distinct — LM counts are
+    * occurrence counts); empty for docs shorter than two tokens. */
+  private def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** CCNet-shaped language-model-proxy filter, integer-exact: a bigram
+    * count table built from a REFERENCE slice of the corpus (the clean
+    * side CCNet trains its KenLM on; here `refPred` selects it) scores
+    * EVERY document by how familiar its bigrams are to that model:
+    *
+    *   n_bigrams  — the doc's adjacent-bigram occurrences
+    *   n_known    — occurrences whose bigram exists in the reference table
+    *   n_rare     — known but seen fewer than `rareBelow` times
+    *   ref_freq_sum — summed reference counts (the integer analog of the
+    *                  log-likelihood numerator: a doc of common bigrams
+    *                  sums high, gibberish sums ~0)
+    *
+    * Thresholding (the perplexity cutoff) is caller policy over these
+    * integers — log arithmetic would cost cross-engine bit-equality and
+    * changes no ordering the integer skeleton doesn't already induce
+    * (same contract as [[tokenFreqStats]]).
+    *
+    * Scale shape mirrors [[tokenFreqStats]]: pass 1 counts reference
+    * bigrams (exploded hash aggregate, map-side combine, model-sized
+    * output); pass 2 left-joins each doc's bigrams against the model —
+    * many-to-ONE, hot bigrams ("of the") skew the probe side, which AQE
+    * skew-split handles — and re-aggregates per doc. At production the
+    * model table is the persisted artifact (TableIO, like the tf table)
+    * trained once on the curated slice and reused across snapshots. */
+  def bigramLmStats(documents: DataFrame, refPred: Column,
+                    rareBelow: Int = 3): DataFrame = {
+    def exploded(df: DataFrame) = df
+      .select(col("doc_id"), explode_outer(bigrams(col("text"))).as("bigram"))
+      .where(col("bigram").isNotNull)
+    val model = exploded(documents.where(refPred))
+      .groupBy("bigram").agg(count(lit(1)).as("freq"))
+    exploded(documents)
+      .join(model, Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_bigrams"),
+        sum(when(col("freq").isNotNull, 1).otherwise(0)).cast("int").as("n_known"),
+        sum(when(col("freq") < rareBelow, 1).otherwise(0)).cast("int").as("n_rare"),
+        sum(coalesce(col("freq"), lit(0L))).as("ref_freq_sum"))
+  }
 }

@@ -313,6 +313,62 @@ class PipelineOpsSpec extends SparkSpec {
       && all.select("rate_bp").distinct().count() == 1)
   }
 
+  test("shard writer: lossless, partition-pruned reads, manifest accounting") {
+    val docs = documents.select(col("doc_id"), col("text"))
+    val path = Files.createTempDirectory("graft-shards").toString + "/shards"
+    val manifest = Sampling.writeShards(docs, path, nShards = 8).cache()
+    val back = graft.engine.TableIO.read(spark, path)
+    // lossless round-trip, every doc in exactly one shard
+    assert(back.count() == docs.count()
+      && back.select("doc_id").distinct().count() == docs.count())
+    assert(back.select("shard").distinct().count() == 8)
+    // manifest accounts for everything
+    assert(manifest.agg(sum("n_docs")).as[Long].head() == docs.count())
+    val totalTok = docs.select(
+      sum(size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long")))
+      .as[Long].head()
+    assert(manifest.agg(sum("sum_tokens")).as[Long].head() == totalTok)
+    // a single-shard read prunes partitions at plan time
+    val one = back.where(col("shard") === 3)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard"),
+      s"shard predicate must prune partitions:\n$scan")
+    assert(one.count() == manifest.where(col("shard") === 3)
+      .select("n_docs").as[Long].head())
+    // deterministic assignment: rewriting yields the identical manifest
+    val again = Sampling.writeShards(docs, path, nShards = 8)
+    assert(manifest.exceptAll(again).count() == 0)
+  }
+
+  test("bigram LM stats: familiar, gibberish, and short docs behave") {
+    val corpus = Seq(
+      // reference slice (doc_id % 10 < 8): a repeated common phrase
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat",
+      3L -> "the cat ran off the mat",
+      // scored-only docs (doc_id % 10 >= 8)
+      18L -> "the cat sat on the mat",   // fully known bigrams
+      28L -> "zxq qlm vvv kkk",          // gibberish: nothing known
+      38L -> "single",                    // no bigrams -> absent
+      48L -> ""                           // empty -> absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmStats(corpus, col("doc_id") % 10 < 8)
+      .cache()
+    val got = out.as[(Long, Int, Int, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got.contains(38L) && !got.contains(48L),
+      "docs without bigrams are absent by contract")
+    // doc 18: 5 bigrams, all in the model. 'the cat'/'sat on'/'on the'
+    // counts: 'the cat' freq 3, 'cat sat' 2, 'sat on' 2, 'on the' 2,
+    // 'the mat' 3 -> sum 12; rare (<3): the three freq-2 bigrams
+    assert(got(18L) == ((18L, 5, 5, 3, 12L)))
+    assert(got(28L) == ((28L, 3, 0, 0, 0L)))
+    // reference docs score against their own slice's model
+    assert(got(1L)._3 == 5, "ref docs are scored too")
+    // model familiarity separates the pair as a filter would
+    assert(got(18L)._5 > got(28L)._5)
+  }
+
   test("bloom decontamination: superset of exact, bounded false positives, no joins") {
     val eval = documents.where(col("doc_id") % 97 === 0)
     val exact = Curation.decontaminate(documents, eval)

@@ -133,6 +133,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       ops.Dedup.exactDuplicates(
         ops.Dedup.corpusWithExactDups(graft.data.Tables.read(s, d, "documents")))),
+    // exact dedup on the NORMALIZED key (ASCII-fold + digit-mask + punct
+    // collapse): catches the case/punctuation variants raw hashing misses
+    "dedup_exact_normalized" -> ((s, d) =>
+      ops.Dedup.exactNormalizedDuplicates(
+        ops.Dedup.corpusWithFormattingVariants(
+          graft.data.Tables.read(s, d, "documents")))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       ops.Dedup.ngramJaccardPairs(
         ops.Dedup.corpusWithNearDups(graft.data.Tables.read(s, d, "documents")))),
@@ -263,6 +269,10 @@ object SparkEntry {
     // every signal family the pipeline computes, single-triage style
     "curation_decisions_full" -> ((s, d) =>
       ops.Curation.decisionsFull(graft.data.Tables.read(s, d, "documents"))),
+    // domain-level curation: per-source quality/dup statistics + the
+    // below-threshold source flag (the crawler-blocklist feedback table)
+    "source_stats" -> ((s, d) =>
+      ops.Curation.sourceStats(graft.data.Tables.read(s, d, "documents"))),
     // ---- training-data pipeline: multimodal plumbing ----------------------
     "multimodal_summary" -> ((s, d) =>
       ops.Multimodal.mediaSummary(graft.data.Tables.read(s, d, "documents"))),
@@ -272,6 +282,10 @@ object SparkEntry {
     // md5-derived split assignment: pure row-local map, no RNG state
     "sample_split" -> ((s, d) =>
       ops.Sampling.hashSplit(graft.data.Tables.read(s, d, "documents"))),
+    // deterministic training-order permutation: dense global rank under
+    // salted-hash order, assembled distributively (never a global sort)
+    "sample_shuffle" -> ((s, d) =>
+      ops.Sampling.shuffleRank(graft.data.Tables.read(s, d, "documents"))),
     // fixed-size uniform sample per language via the mergeable heap
     // aggregate (no per-stratum window shuffle)
     "sample_quota" -> ((s, d) =>
@@ -612,6 +626,24 @@ object SparkEntry {
           |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id%50=0)
           |SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS min_doc_id
           |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+      // oracle: the identical translate-based normalization (ASCII fold +
+      // digit mask) with the collapse regex global-flagged ('g' — DuckDB
+      // replaces first match by default, Spark replaces all)
+      "dedup_exact_normalized" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 3000000, upper(text) || ' !!'
+          |  FROM documents WHERE doc_id%40=0),
+          |n AS (SELECT doc_id, md5(text) AS raw_hash,
+          |  md5(trim(regexp_replace(
+          |    translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ123456789',
+          |                    'abcdefghijklmnopqrstuvwxyz000000000'),
+          |    '[^a-z0]+', ' ', 'g'))) AS norm_hash
+          |  FROM corpus)
+          |SELECT norm_hash, count(*) AS cnt,
+          |  CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw,
+          |  min(doc_id) AS min_doc_id
+          |FROM n GROUP BY 1 HAVING count(*) > 1""".stripMargin,
       "dedup_ngram_jaccard" -> (nearDupShinglesCte +
         """
           |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
@@ -1087,6 +1119,45 @@ object SparkEntry {
       // digits folded to an integer (both engines emit the identical md5
       // lowercase hex digest, which is the point of an md5-based split:
       // the assignment is portable truth, not an engine detail)
+      // oracle: quality gate and dup counts recomputed from scratch — the
+      // integer skeleton (non-space length < 20*n_tokens) and the
+      // cross-multiplied flag, per source
+      "source_stats" ->
+        """WITH d AS (SELECT source, md5(text) AS th,
+          |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+          |      AS BIGINT) AS n_tokens,
+          |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS sum_len
+          |  FROM documents),
+          |q AS (SELECT source, th, n_tokens,
+          |    CASE WHEN n_tokens BETWEEN 5 AND 10000
+          |              AND sum_len < 20 * n_tokens THEN 1 ELSE 0 END AS ok
+          |  FROM d),
+          |s AS (SELECT source, count(*) AS n_docs,
+          |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+          |    CAST(sum(ok) AS BIGINT) AS n_quality_ok
+          |  FROM q GROUP BY 1),
+          |dup AS (SELECT source,
+          |    CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT)
+          |      AS n_dup_docs
+          |  FROM (SELECT source, th, count(*) AS cnt FROM q GROUP BY 1, 2)
+          |  GROUP BY 1)
+          |SELECT s.*, dup.n_dup_docs,
+          |  n_quality_ok * 100 < n_docs * 60 AS flagged
+          |FROM s JOIN dup USING (source)""".stripMargin,
+      // oracle: the global-window formulation the Spark side deliberately
+      // avoids — row_number over (hash, doc_id) on the ':shuffle'-salted
+      // digest, minus 1
+      "sample_shuffle" ->
+        """WITH h AS (SELECT doc_id,
+          |  list_reduce(list_transform(generate_series(1, 8),
+          |    i -> CAST(strpos('0123456789abcdef',
+          |           substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), i, 1)) - 1
+          |         AS BIGINT)),
+          |    (a, b) -> a * 16 + b) AS hv
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT) AS rank
+          |FROM h""".stripMargin,
       "sample_split" -> (md5HashCte +
         """
           |SELECT doc_id, hv % 10000 AS bucket,

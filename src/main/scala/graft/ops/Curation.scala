@@ -362,4 +362,46 @@ object Curation {
           .when(col("f.quality_ok") === 0, lit("drop_quality"))
           .otherwise(lit("keep")).as("decision"))
   }
+
+  /** Source-level (domain-level) curation statistics — the RefinedWeb-style
+    * "judge the domain, not just the page" pass: per source, doc/token
+    * counts, quality-pass counts, exact-dup doc counts, and a `flagged`
+    * verdict for sources whose quality-pass share falls below
+    * `minQualityPct` (the blocklist a pipeline feeds back into its crawler).
+    *
+    * Integer-exact throughout: the quality gate is the integer skeleton of
+    * TextAnalysis.quality (sum of token lengths < 20 x n_tokens instead of
+    * a double average — same decision, no float division), and the flag
+    * compares cross-multiplied integers. Token-length sum is
+    * `length(translate(text, " ", ""))`: tokens are single-space splits, so
+    * non-space length IS the summed token length — one string op instead of
+    * an aggregate HOF over the token array.
+    *
+    * Scale shape: one corpus pass feeds two independent aggregations —
+    * per-source rollup (nSources rows, map-side combine) and per-(source,
+    * text_hash) dup counting (two-level aggregate, both combine map-side;
+    * never a window over hash membership) — joined at nSources scale where
+    * AQE broadcasts. */
+  def sourceStats(documents: DataFrame, minQualityPct: Int = 60): DataFrame = {
+    require(minQualityPct >= 0 && minQualityPct <= 100)
+    val perDoc = documents.select(
+      col("source"),
+      md5(col("text").cast("binary")).as("text_hash"),
+      size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"),
+      length(translate(col("text"), " ", "")).cast("long").as("sum_tok_len"))
+      .withColumn("quality_ok",
+        (col("n_tokens").between(5, 10000)
+          && col("sum_tok_len") < col("n_tokens") * 20L).cast("int"))
+    val bySource = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("sum_tokens"),
+      sum("quality_ok").cast("long").as("n_quality_ok"))
+    val dupBySource = perDoc
+      .groupBy("source", "text_hash").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_dup_docs"))
+    bySource.join(dupBySource, Seq("source"))
+      .withColumn("flagged",
+        col("n_quality_ok") * 100 < col("n_docs") * minQualityPct)
+  }
 }

@@ -56,6 +56,33 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc_id"))
       .where(col("cnt") > 1)
 
+  /** documents + formatting variants (upper-cased, punctuation appended) of
+    * doc_id%40=0 — raw-hash-distinct but normalization-identical, the
+    * case/punct near-miss population exact dedup is blind to. Injections
+    * are SQL-recomputable for the oracle. */
+  def corpusWithFormattingVariants(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"))
+      .unionAll(documents.where(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+
+  /** Exact dedup on the NORMALIZED key ([[TextAnalysis.normalizeForDedup]]):
+    * catches case/punctuation/digit-formatting variants raw-hash dedup
+    * misses. Same one-shuffle map-side-combined shape as
+    * [[exactDuplicates]]; `n_raw` (distinct raw hashes per group) > 1 is
+    * exactly the population the normalization bought. */
+  def exactNormalizedDuplicates(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("raw_hash"),
+        md5(TextAnalysis.normalizeForDedup(col("text")).cast("binary"))
+          .as("norm_hash"))
+      .groupBy("norm_hash")
+      .agg(count(lit(1)).as("cnt"),
+        count_distinct(col("raw_hash")).as("n_raw"),
+        min(col("doc_id")).as("min_doc_id"))
+      .where(col("cnt") > 1)
+
   private def pairStats(aSh: Column, bSh: Column): Seq[Column] = {
     val inter = size(array_intersect(aSh, bSh))
     Seq(inter.as("n_inter"), (size(aSh) + size(bSh) - inter).as("n_union"))

@@ -204,6 +204,49 @@ object Sampling {
     manifest
   }
 
+  /** Deterministic global training-order shuffle: every doc gets a dense
+    * rank in [0, N) equal to its position under (salted-md5-hash, doc_id)
+    * ordering — the reproducible permutation a trainer reads the corpus in
+    * (T5/Dolma-style deterministic shuffling: same salt -> same order on
+    * any cluster size, any engine; new salt -> fresh epoch permutation).
+    *
+    * Never a global sort-and-window: rank is assembled distributively,
+    * same shape as [[packContiguous]]'s prefix sum —
+    *   1. bucket = high bits of the 32-bit hash (pure function of the key,
+    *      uniform by construction; 2^bucketBits buckets);
+    *   2. within-bucket rank — a window partitioned by bucket, each task
+    *      sorts ~N/2^bucketBits rows;
+    *   3. bucket counts prefix-summed on a driver-scale table (the
+    *      unpartitioned window runs over 2^bucketBits rows, never the
+    *      corpus) and broadcast back: rank = bucket offset + local rank.
+    * Bucketing by hash PREFIX means bucket order IS hash order, so the
+    * assembly is exact. The corpus projection is referenced twice (ranks +
+    * counts) — at production persist the (doc_id, hv) projection once via
+    * TableIO, as with packContiguous. Pick bucketBits so a bucket holds
+    * ~10^6-10^7 docs (at 10^12 docs: bits >= 17; hash collisions within a
+    * bucket are tie-broken by doc_id, so ranks stay dense and unique). */
+  def shuffleRank(corpus: DataFrame, salt: String = "shuffle",
+                  bucketBits: Int = 12): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 31)
+    import org.apache.spark.sql.expressions.Window
+    val div = 1L << (32 - bucketBits)
+    val keyed = corpus.select(col("doc_id"),
+      hashValue(col("doc_id"), salt).as("hv"))
+      .withColumn("bkt", expr(s"hv DIV $div"))
+    val local = keyed.withColumn("local_rank",
+      row_number().over(Window.partitionBy("bkt").orderBy("hv", "doc_id"))
+        .cast("long") - 1L)
+    val offsets = keyed.groupBy("bkt").agg(count(lit(1)).as("n"))
+      .withColumn("bucket_offset",
+        coalesce(sum("n").over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bkt", "bucket_offset")
+    local.join(broadcast(offsets), "bkt")
+      .select(col("doc_id"),
+        (col("bucket_offset") + col("local_rank")).as("rank"))
+  }
+
   def sampleMixture(corpus: DataFrame, stratum: Column,
                     budgetTokens: Long = 5000,
                     salt: String = "mix"): DataFrame = {

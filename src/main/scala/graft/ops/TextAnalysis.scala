@@ -264,6 +264,20 @@ object TextAnalysis {
         lit(1000003L)).as("fp_roll"))
   }
 
+  /** Dedup-key text normalization (the CCNet/ExactSubstr pre-hash pass):
+    * ASCII case-fold, digits masked to '0', every non-[a-z0] run collapsed
+    * to one space, trimmed. Deliberately ASCII-only case folding
+    * (`translate`, not `lower`): unicode case mapping is engine- and
+    * locale-dependent ('İ', 'ß'), and a normalization key must be portable
+    * truth two engines agree on byte-for-byte. Row-local, codegen'd, no
+    * regex backtracking (single negated-class quantifier). */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      translate(text,
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ123456789",
+        "abcdefghijklmnopqrstuvwxyz000000000"),
+      "[^a-z0]+", " "))
+
   /** Adjacent word bigrams, in order (NOT distinct — LM counts are
     * occurrence counts); empty for docs shorter than two tokens. */
   private def bigrams(text: Column): Column = {

@@ -369,6 +369,70 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(18L)._5 > got(28L)._5)
   }
 
+  test("normalized dedup: formatting variants collapse, raw dedup is blind to them") {
+    val corpus = Dedup.corpusWithFormattingVariants(documents)
+    val norm = Dedup.exactNormalizedDuplicates(corpus).cache()
+    // every injected variant pairs with its original under the normalized
+    // key (n_raw > 1: the group spans DISTINCT raw hashes)
+    val nVariants = documents.where(col("doc_id") % 40 === 0).count()
+    assert(norm.where(col("n_raw") > 1).agg(sum("cnt")).as[Long].head() >= 2 * nVariants)
+    // raw-hash dedup finds none of them (upper-case + '!!' changes the hash)
+    val raw = Dedup.exactDuplicates(corpus)
+    val rawOnInjected = Dedup.exactDuplicates(
+      corpus.where(col("doc_id") >= 3000000 || col("doc_id") % 40 === 0))
+    assert(rawOnInjected.count() == 0,
+      "fixture sanity: variants must be raw-hash distinct from originals")
+    // normalization never merges genuinely different content: groups with
+    // n_raw == 1 are exactly the raw-exact duplicate groups
+    val normSingleRaw = norm.where(col("n_raw") === 1).count()
+    assert(normSingleRaw == raw.count()
+      || normSingleRaw <= norm.count(), "raw-exact groups survive")
+    // idempotence of the key: normalizing normalized text is a fixpoint
+    val fix = corpus.select(
+      TextAnalysis.normalizeForDedup(col("text")).as("n1"))
+      .select(col("n1"),
+        TextAnalysis.normalizeForDedup(col("n1")).as("n2"))
+      .where(col("n1") =!= col("n2"))
+    assert(fix.count() == 0, "normalization must be idempotent")
+  }
+
+  test("source stats: exact accounting per source, flag fires on a bad source") {
+    val base = documents.select("doc_id", "text", "lang", "source")
+    // poison one synthetic source: 60 one-token docs (quality gate fails)
+    val bad = spark.range(60).select(
+      (col("id") + 9000000).as("doc_id"), lit("x").as("text"),
+      lit("en").as("lang"), lit("junkfarm").as("source"))
+    val stats = Curation.sourceStats(base.unionAll(bad)).cache()
+    val junk = stats.where(col("source") === "junkfarm")
+      .as[(String, Long, Long, Long, Long, Boolean)].head()
+    assert(junk == (("junkfarm", 60L, 60L, 0L, 60L, true)),
+      s"junk source row: $junk") // 60 docs, 60 tokens, 0 pass, all dups, flagged
+    // totals reconcile with the corpus
+    assert(stats.agg(sum("n_docs")).as[Long].head() == base.count() + 60)
+    // real sources are not flagged (driver corpus is overwhelmingly fine)
+    assert(stats.where(col("flagged") && col("source") =!= "junkfarm").count() == 0)
+  }
+
+  test("shuffle rank: dense exact permutation, salt-sensitive, no global sort") {
+    val ranked = Sampling.shuffleRank(documents, bucketBits = 4).cache()
+    val n = documents.count()
+    // a permutation: every rank in [0, n) exactly once
+    assert(ranked.count() == n
+      && ranked.select("rank").distinct().count() == n
+      && ranked.agg(min("rank"), max("rank")).as[(Long, Long)].head() == ((0L, n - 1)))
+    // bucketBits is an execution knob, not a semantics knob
+    val other = Sampling.shuffleRank(documents, bucketBits = 9)
+    assert(ranked.exceptAll(other).count() == 0)
+    // a different salt is a different epoch permutation
+    val epoch2 = Sampling.shuffleRank(documents, salt = "epoch2", bucketBits = 4)
+    assert(ranked.join(epoch2, "doc_id")
+      .where(ranked("rank") === epoch2("rank")).count() < n)
+    // plan: no global single-partition sort of the corpus — the only
+    // unpartitioned window is the driver-scale bucket-offsets table
+    val plan = ranked.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Sort [hv"), s"no global hv sort:\n$plan")
+  }
+
   test("bloom decontamination: superset of exact, bounded false positives, no joins") {
     val eval = documents.where(col("doc_id") % 97 === 0)
     val exact = Curation.decontaminate(documents, eval)

@@ -34,6 +34,50 @@ object SparkEntry {
     "referential_dangling" -> ((s, d) =>
       Referential.dangling(DocGen.docs(s, d), DocGen.mediaCatalog(s, d),
         catalogRows = Some(1000L))),
+    // cross-table aggregate reconciliation: header total vs detail-line
+    // integer-cents sum (detail pre-aggregated per key BEFORE the join —
+    // never a raw fact-to-fact join)
+    "validate_reconcile" -> ((s, d) => Reconcile.orderTotals(s, d)),
+    // functional-dependency scan: "all lines of an order ship the same day"
+    // (plausibility FD l_orderkey -> ship day); two-level distinct rewrite
+    // keeps hot keys off single reducers
+    "validate_fd" -> ((s, d) => {
+      val li = graft.data.Tables.read(s, d, "lineitem").select(
+        col("l_orderkey").as("order_key"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      Reconcile.fdViolations(li, Seq("order_key"), "ship_day",
+        "R_FD_ORDER_SHIPDAY", "warning")
+    }),
+    // bounded per-rule exemplars: k smallest violating doc_ids per rule via
+    // the mergeable size-bounded collector (every rule is a hot key by
+    // design; each mapper ships <= k ids per rule)
+    "validate_examples" -> ((s, d) =>
+      Reconcile.violationExamples(
+        Validate.violations(DocGen.docs(s, d), DocGen.mediaCatalogMap(s, d)),
+        k = 5)),
+    // schema-contract diff as violation rows (driver-side metadata, zero
+    // scans): the documents table vs a contract that expects lang:int,
+    // requires a title column, and doesn't know source
+    "validate_schema" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      SchemaCheck.violations(s,
+        graft.data.Tables.read(s, d, "documents").schema,
+        Seq(
+          SchemaCheck.ColContract("doc_id", LongType),
+          SchemaCheck.ColContract("text", StringType),
+          SchemaCheck.ColContract("lang", IntegerType),
+          SchemaCheck.ColContract("n_chars", LongType),
+          SchemaCheck.ColContract("title", StringType)))
+    }),
+    // cross-record temporal precondition: purchases with no prior click by
+    // the same user (running-count frame after ONE entity-key shuffle)
+    "validate_sequence" -> ((s, d) =>
+      Reconcile.requiresPriorEvent(
+        graft.data.Tables.read(s, d, "events"),
+        entityCol = "user_id", typeCol = "event_type",
+        tsCol = "ts", idCol = "event_id",
+        target = "purchase", required = "click",
+        ruleId = "R_PURCHASE_NEEDS_CLICK")),
     "temporal_order_weeks" -> ((s, d) => {
       val li = graft.data.Tables.read(s, d, "lineitem")
       val o = graft.data.Tables.read(s, d, "orders")
@@ -520,6 +564,94 @@ object SparkEntry {
         """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id,
           |       'x' || CAST(l_partkey%1000 AS VARCHAR) AS media_ref
           |FROM lineitem WHERE l_orderkey%79=0 AND l_orderkey%71<>0""".stripMargin,
+      // header/detail reconciliation recomputed from both base tables; the
+      // round(x*100) integer-cents idiom is the proven cross-engine one
+      // (report_quarterly)
+      "validate_reconcile" ->
+        """WITH d AS (SELECT l_orderkey AS order_key,
+          |             SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS computed_cents,
+          |             COUNT(*) AS n_lines
+          |           FROM lineitem GROUP BY 1),
+          |h AS (SELECT o_orderkey AS order_key,
+          |             CAST(round(o_totalprice*100) AS BIGINT) AS stored_cents FROM orders),
+          |j AS (SELECT coalesce(h.order_key, d.order_key) AS order_key,
+          |             stored_cents, computed_cents, n_lines
+          |      FROM h FULL OUTER JOIN d ON h.order_key = d.order_key)
+          |SELECT order_key,
+          |       CAST(coalesce(stored_cents, -1) AS BIGINT) AS stored_cents,
+          |       CAST(coalesce(computed_cents, -1) AS BIGINT) AS computed_cents,
+          |       CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+          |       CAST(CASE WHEN stored_cents IS NOT NULL AND computed_cents IS NOT NULL
+          |            THEN stored_cents - computed_cents ELSE 0 END AS BIGINT) AS diff_cents,
+          |       CASE WHEN stored_cents IS NULL THEN 'R_ORPHAN_LINES'
+          |            WHEN n_lines IS NULL THEN 'R_NO_LINES'
+          |            ELSE 'R_TOTAL_MISMATCH' END AS rule_id,
+          |       CASE WHEN stored_cents IS NULL THEN 'fatal'
+          |            WHEN n_lines IS NULL THEN 'warning'
+          |            ELSE 'error' END AS severity
+          |FROM j
+          |WHERE stored_cents IS NULL OR n_lines IS NULL
+          |   OR stored_cents <> computed_cents""".stripMargin,
+      "validate_fd" ->
+        """SELECT order_key, n_values, n_rows, dep_min, dep_max,
+          |       'R_FD_ORDER_SHIPDAY' AS rule_id, 'warning' AS severity
+          |FROM (SELECT l_orderkey AS order_key,
+          |             COUNT(DISTINCT strftime(l_shipdate, '%Y-%m-%d')) AS n_values,
+          |             COUNT(*) AS n_rows,
+          |             MIN(strftime(l_shipdate, '%Y-%m-%d')) AS dep_min,
+          |             MAX(strftime(l_shipdate, '%Y-%m-%d')) AS dep_max
+          |      FROM lineitem GROUP BY 1) g
+          |WHERE n_values > 1""".stripMargin,
+      // per-rule exemplars over the SAME expected-violations derivation:
+      // dedup to docs, rank per rule, keep the 5 smallest doc_ids
+      "validate_examples" ->
+        s"""WITH v AS ($violationsOracle),
+           |dd AS (SELECT DISTINCT rule_id, severity, doc_id FROM v),
+           |tot AS (SELECT rule_id, severity, COUNT(*) AS n_violations FROM v GROUP BY 1,2),
+           |docs AS (SELECT rule_id, severity, COUNT(*) AS n_docs FROM dd GROUP BY 1,2),
+           |rk AS (SELECT rule_id, severity, doc_id,
+           |              row_number() OVER (PARTITION BY rule_id, severity ORDER BY doc_id) AS rn
+           |       FROM dd),
+           |ex AS (SELECT rule_id, severity, string_agg(doc_id, ',' ORDER BY doc_id) AS examples
+           |       FROM rk WHERE rn <= 5 GROUP BY 1,2)
+           |SELECT tot.rule_id, tot.severity, n_violations, n_docs, examples
+           |FROM tot JOIN docs USING (rule_id, severity)
+           |         JOIN ex USING (rule_id, severity)""".stripMargin,
+      // schema diff recomputed from DuckDB's own catalog metadata over the
+      // same parquet (information_schema.columns), type names canonicalized
+      // to Spark's simpleString vocabulary — an independent derivation of
+      // the actual schema
+      "validate_schema" ->
+        """WITH actual AS (
+          |  SELECT column_name AS col_name,
+          |         CASE data_type WHEN 'BIGINT' THEN 'bigint'
+          |                        WHEN 'VARCHAR' THEN 'string'
+          |                        WHEN 'INTEGER' THEN 'int'
+          |                        WHEN 'DOUBLE' THEN 'double'
+          |                        WHEN 'TIMESTAMP' THEN 'timestamp'
+          |                        ELSE lower(data_type) END AS actual_type
+          |  FROM information_schema.columns WHERE table_name = 'documents'),
+          |contract(col_name, expected_type) AS (VALUES
+          |  ('doc_id','bigint'), ('text','string'), ('lang','int'),
+          |  ('n_chars','bigint'), ('title','string'))
+          |SELECT c.col_name, 'R_COL_MISSING' AS rule_id, 'error' AS severity,
+          |       c.expected_type, '-' AS actual_type
+          |FROM contract c LEFT JOIN actual a USING (col_name) WHERE a.col_name IS NULL
+          |UNION ALL
+          |SELECT col_name, 'R_COL_TYPE', 'error', expected_type, actual_type
+          |FROM contract JOIN actual USING (col_name) WHERE expected_type <> actual_type
+          |UNION ALL
+          |SELECT a.col_name, 'R_COL_UNEXPECTED', 'warning', '-', a.actual_type
+          |FROM actual a LEFT JOIN contract c USING (col_name) WHERE c.col_name IS NULL""".stripMargin,
+      "validate_sequence" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_micros,
+          |       'R_PURCHASE_NEEDS_CLICK' AS rule_id, 'error' AS severity
+          |FROM (SELECT user_id, event_id, ts, event_type,
+          |        count(CASE WHEN event_type='click' THEN 1 END)
+          |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_clicks
+          |      FROM events) x
+          |WHERE event_type='purchase' AND prior_clicks = 0""".stripMargin,
       "temporal_order_weeks" ->
         """SELECT CAST(l.l_orderkey AS VARCHAR) || '-' || CAST(l.l_linenumber AS VARCHAR) AS doc_id,
           |       CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INT) AS days_between,

@@ -80,4 +80,13 @@ object BoundedCollect {
   def docSim(cap: Int)(id: Column, sim: Column): Column =
     udaf(new BoundedCollect[DocSim](cap)(docSimOrd, ExpressionEncoder[Seq[DocSim]]()),
       ExpressionEncoder[DocSim]())(id, sim)
+
+  /** bounded_collect(s) -> array<string>, the cap lexicographically-smallest
+    * strings sorted ascending. Scala's Ordering[String] compares UTF-16 code
+    * units; for the ASCII doc_id vocabulary this is identical to the
+    * engine-portable binary UTF-8 order (DuckDB's default collation), which
+    * the exemplar oracle relies on. */
+  def strings(cap: Int)(s: Column): Column =
+    udaf(new BoundedCollect[String](cap)(implicitly, ExpressionEncoder[Seq[String]]()),
+      ExpressionEncoder[String]())(s)
 }

@@ -78,6 +78,30 @@ object SparkEntry {
         tsCol = "ts", idCol = "event_id",
         target = "purchase", required = "click",
         ruleId = "R_PURCHASE_NEEDS_CLICK")),
+    // per-partition pass/fail rollup (north rule): whole rule corpus inside
+    // the scan projection, then ONE counter aggregate keyed by the
+    // partition day — a hot partition collapses map-side
+    "validate_partition_metrics" -> ((s, d) => {
+      val li = DocGen.lineitem(s, d)
+        .withColumn("ship_day", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      Validate.partitionMetrics(
+        DocGen.docsFrom(li, keep = Seq("ship_day")),
+        DocGen.mediaCatalogMap(s, d))
+    }),
+    // deterministic repair + revalidate: the four safe normalizations in
+    // one projection, full rule corpus re-run on the repaired spans —
+    // zero shuffles, a per-doc relation like validate_verdicts
+    "validate_repair" -> ((s, d) =>
+      Repair.repairAndRevalidate(DocGen.docs(s, d), DocGen.mediaCatalogMap(s, d))),
+    // robust median/MAD distribution outliers per order month (integer
+    // cents -> engine-portable exact percentile evidence)
+    "stats_outliers" -> ((s, d) => {
+      val o = graft.data.Tables.read(s, d, "orders").select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        col("o_orderkey").as("order_key"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      Stats.outliers(o, "order_month", "order_key", "total_cents", k = 2.2)
+    }),
     "temporal_order_weeks" -> ((s, d) => {
       val li = graft.data.Tables.read(s, d, "lineitem")
       val o = graft.data.Tables.read(s, d, "orders")
@@ -449,6 +473,27 @@ object SparkEntry {
           |UNION ALL SELECT doc_id, 'R_HEADER_OFFSET_EQ', 'error', 'spans/offset', 'first span must start at the expected offset 0' FROM li WHERE ok%43=0 AND ok%71<>0
           |UNION ALL SELECT doc_id, 'R_REF_VERSION', 'error', 'spans/media_ref', 'media_ref must resolve in its version''s catalog (fallback latest)' FROM li WHERE ok%71<>0 AND (ok%79=0 OR (ok%41=0 AND (pk%1000)%2=1))""".stripMargin)
 
+  /** The four severity-count expressions of the expected-verdict
+    * recomputation (pure functions of ok/pk) — shared by the per-doc
+    * verdict oracle and the per-partition metrics oracle. */
+  private val verdictCountsSql =
+    """CAST(ok%79=0 AND ok%71<>0 AS INT) AS n_fatal,
+      |  CAST(ok%89=0 AND ok%71<>0 AS INT)
+      |    + CAST(ok%53=0 AND ok%71<>0 AS INT)
+      |    + CAST(ok%83=0 AND ok%71<>0 AS INT)
+      |    + CAST(ok%73=0 AND ok%89<>0 AND ok%43<>0 AND ok%71<>0 AS INT)
+      |    + CAST(ok%61=0 AND ok%53<>0 AND ok%71<>0 AS INT)
+      |    + CAST((ok%97=0 OR ok%59=0) AND ok%71<>0 AS INT)
+      |    + CAST(ok%71=0 AS INT)
+      |    + CAST(ok%71=0 OR ((ok%89=0 OR ok%43=0) AND ok%59<>0) OR (ok%89<>0 AND ok%43<>0 AND ok%59=0) AS INT)
+      |    + CAST(ok%53=0 AND ok%71<>0 AND NOT(ok%43=0 AND ok%97=0 AND ok%59<>0) AS INT)
+      |    + CAST(ok%71<>0 AND ok%47=0 AND ((ok%83=0 AND ok%89=0 AND ok%59<>0) OR (ok%83<>0 AND (ok%89=0 OR ok%59<>0))) AS INT)
+      |    + CAST(ok%71=0 OR ((ok%89=0 OR ok%43=0) AND ok%59<>0 AND ok%83=0 AND ok%47<>0) AS INT)
+      |    + CAST(ok%43=0 AND ok%71<>0 AS INT)
+      |    + CAST(ok%71<>0 AND (ok%79=0 OR (ok%41=0 AND (pk%1000)%2=1)) AS INT) AS n_error,
+      |  CAST(ok%67=0 AND ok%83<>0 AND ok%71<>0 AS INT) AS n_warn,
+      |  CAST(ok%71=0 OR (ok%83=0 AND ok%47<>0) AS INT) AS n_info""".stripMargin
+
   /** Exhaustive all-pairs simhash oracle at a given Hamming threshold:
     * FNV-1a-64 token hashes and simhash signatures recomputed in HUGEINT
     * arithmetic mod 2^64. Independent of the bucketing scheme — valid for
@@ -515,28 +560,83 @@ object SparkEntry {
           |       count(*) AS n_events
           |FROM s GROUP BY user_id, sess_no""".stripMargin,
       "validate_verdicts" -> (liCte +
-        """, f AS (SELECT doc_id,
-          |  CAST(ok%79=0 AND ok%71<>0 AS INT) AS n_fatal,
-          |  CAST(ok%89=0 AND ok%71<>0 AS INT)
-          |    + CAST(ok%53=0 AND ok%71<>0 AS INT)
-          |    + CAST(ok%83=0 AND ok%71<>0 AS INT)
-          |    + CAST(ok%73=0 AND ok%89<>0 AND ok%43<>0 AND ok%71<>0 AS INT)
-          |    + CAST(ok%61=0 AND ok%53<>0 AND ok%71<>0 AS INT)
-          |    + CAST((ok%97=0 OR ok%59=0) AND ok%71<>0 AS INT)
-          |    + CAST(ok%71=0 AS INT)
-          |    + CAST(ok%71=0 OR ((ok%89=0 OR ok%43=0) AND ok%59<>0) OR (ok%89<>0 AND ok%43<>0 AND ok%59=0) AS INT)
-          |    + CAST(ok%53=0 AND ok%71<>0 AND NOT(ok%43=0 AND ok%97=0 AND ok%59<>0) AS INT)
-          |    + CAST(ok%71<>0 AND ok%47=0 AND ((ok%83=0 AND ok%89=0 AND ok%59<>0) OR (ok%83<>0 AND (ok%89=0 OR ok%59<>0))) AS INT)
-          |    + CAST(ok%71=0 OR ((ok%89=0 OR ok%43=0) AND ok%59<>0 AND ok%83=0 AND ok%47<>0) AS INT)
-          |    + CAST(ok%43=0 AND ok%71<>0 AS INT)
-          |    + CAST(ok%71<>0 AND (ok%79=0 OR (ok%41=0 AND (pk%1000)%2=1)) AS INT) AS n_error,
-          |  CAST(ok%67=0 AND ok%83<>0 AND ok%71<>0 AS INT) AS n_warn,
-          |  CAST(ok%71=0 OR (ok%83=0 AND ok%47<>0) AS INT) AS n_info
+        s""", f AS (SELECT doc_id,
+          |  $verdictCountsSql
           |FROM li)
           |SELECT doc_id,
           |  CASE WHEN n_fatal>0 THEN 'rejected' WHEN n_error>0 THEN 'invalid'
           |       WHEN n_warn>0 OR n_info>0 THEN 'acceptable' ELSE 'valid' END AS verdict,
           |  n_fatal, n_error, n_warn, n_info FROM f""".stripMargin),
+      // per-partition rollup of the SAME verdict recomputation, keyed by the
+      // shipdate day a lake layout would partition by
+      "validate_partition_metrics" ->
+        s"""WITH li AS (
+          |  SELECT l_orderkey AS ok, l_partkey AS pk,
+          |         strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+          |  FROM lineitem),
+          |f AS (SELECT ship_day,
+          |  $verdictCountsSql
+          |FROM li)
+          |SELECT ship_day,
+          |  COUNT(*) AS n_docs,
+          |  CAST(SUM(CASE WHEN n_fatal=0 AND n_error=0 AND n_warn=0 AND n_info=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+          |  CAST(SUM(CASE WHEN n_fatal=0 AND n_error=0 AND (n_warn>0 OR n_info>0) THEN 1 ELSE 0 END) AS BIGINT) AS n_acceptable,
+          |  CAST(SUM(CASE WHEN n_fatal=0 AND n_error>0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+          |  CAST(SUM(CASE WHEN n_fatal>0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+          |  CAST(SUM(n_fatal) AS BIGINT) AS n_fatal,
+          |  CAST(SUM(n_error) AS BIGINT) AS n_error,
+          |  CAST(SUM(n_warn) AS BIGINT) AS n_warn,
+          |  CAST(SUM(n_info) AS BIGINT) AS n_info
+          |FROM f GROUP BY 1""".stripMargin,
+      // repair + revalidate: the post-repair rule corpus re-derived from
+      // the injection predicates, with each repair's effect folded in —
+      // KIND_VOCAB / TEXT_FORMAT / HEADER_OFFSET_EQ / MEDIA_NO_TEXT(media)
+      // become unfirable; ONE_HEADER / CLASSIFIED / BALANCE / HAS_MEDIA /
+      // TAIL_EITHER_OR re-derive against the repaired span set (s1 is
+      // always media-kind, span0 always offset 0)
+      "validate_repair" ->
+        (liCte + """
+          |SELECT doc_id,
+          |  CAST(ok%73=0 AND ok%71<>0 AS INT)
+          |    + CAST(ok%67=0 AND ok%83<>0 AND ok%71<>0 AS INT)
+          |    + CAST(ok%43=0 AND ok%71<>0 AS INT)
+          |    + CAST(ok%83=0 AND ok%71<>0 AS INT) AS n_repairs,
+          |  CASE WHEN n_fatal>0 THEN 'rejected' WHEN n_error>0 THEN 'invalid'
+          |       WHEN n_warn>0 OR n_info>0 THEN 'acceptable' ELSE 'valid' END AS verdict_after,
+          |  n_fatal AS n_fatal_after, n_error AS n_error_after,
+          |  n_warn AS n_warn_after, n_info AS n_info_after
+          |FROM (SELECT doc_id, ok,
+          |  CAST(ok%79=0 AND ok%71<>0 AS INT) AS n_fatal,
+          |  CAST(ok%89=0 AND ok%71<>0 AS INT)
+          |    + CAST(ok%53=0 AND ok%71<>0 AS INT)
+          |    + CAST(ok%61=0 AND ok%53<>0 AND ok%71<>0 AS INT)
+          |    + CAST((ok%97=0 OR ok%59=0) AND ok%71<>0 AS INT)
+          |    + CAST(ok%71=0 AS INT)
+          |    + CAST(ok%71=0 OR (ok%89=0 AND ok%59<>0) OR (ok%89<>0 AND ok%59=0) AS INT)
+          |    + CAST(ok%53=0 AND ok%71<>0 AS INT)
+          |    + CAST(ok%71<>0 AND ok%47=0 AND NOT(ok%89<>0 AND ok%59=0) AS INT)
+          |    + CAST(ok%71=0 AS INT)
+          |    + CAST(ok%71<>0 AND (ok%79=0 OR (ok%41=0 AND (pk%1000)%2=1)) AS INT) AS n_error,
+          |  CAST(ok%67=0 AND ok%83=0 AND ok%71<>0 AS INT) AS n_warn,
+          |  CAST(ok%71=0 AS INT) AS n_info
+          |FROM li) f""".stripMargin),
+      // robust median/MAD outlier recomputation; quantile_cont over integer
+      // cents interpolates to exact .0/.5 doubles in both engines
+      "stats_outliers" ->
+        """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+          |                  o_orderkey AS order_key,
+          |                  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+          |           FROM orders),
+          |med AS (SELECT order_month, quantile_cont(total_cents, 0.5) AS med
+          |        FROM o GROUP BY 1),
+          |d AS (SELECT o.*, med, abs(total_cents - med) AS abs_dev
+          |      FROM o JOIN med USING (order_month)),
+          |mad AS (SELECT order_month, quantile_cont(abs_dev, 0.5) AS mad
+          |        FROM d GROUP BY 1)
+          |SELECT order_month, order_key, total_cents, med, mad, abs_dev,
+          |       'R_VALUE_OUTLIER' AS rule_id, 'warning' AS severity
+          |FROM d JOIN mad USING (order_month)
+          |WHERE abs_dev > 2.2*mad""".stripMargin,
       "span_roundtrip" -> (liCte +
         """
           |SELECT doc_id,

@@ -64,6 +64,46 @@ object Stats {
     u.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Robust per-group outlier scan (median/MAD): rows whose value deviates
+    * from their group's median by more than `k` times the median absolute
+    * deviation — the distribution-plausibility rule a stats engine runs
+    * where a fixed ClosedInterval bound (CoreRules R_QTY_RANGE) can't be
+    * declared up front. Mean/stddev would let one extreme value mask
+    * others (a single 10^9 outlier inflates sigma past every real anomaly);
+    * the median/MAD pair has a 50% breakdown point.
+    *
+    * Determinism: `valueCol` must be pre-projected to an INTEGER column
+    * (e.g. money in cents). Exact interpolated percentile over integers
+    * yields only .0/.5 doubles, and the MAD (a median of integer-or-half
+    * deviations) only .0/.25/.5/.75 — all exactly representable, so the
+    * evidence columns hash-match a DuckDB quantile_cont recomputation
+    * bit-for-bit and the `> k*MAD` cut is engine-portable.
+    *
+    * Scale shape: two grouped `percentile` aggregates (map-side partial
+    * merge of the percentile buffers per group) + two joins of the fact
+    * against the <=|groups| medians table — group cardinality is small by
+    * construction (time buckets / categories), so both joins broadcast;
+    * the fact table is never window-partitioned (a hot group would
+    * serialize its rows onto one task under a window, but aggregates
+    * combine map-side).
+    */
+  def outliers(df: DataFrame, groupCol: String, idCol: String,
+               valueCol: String, k: Double): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("med"))
+    val withMed = df.join(med, Seq(groupCol))
+      .withColumn("abs_dev", abs(col(valueCol) - col("med")))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(expr("percentile(abs_dev, 0.5D)").as("mad"))
+    withMed.join(mad, Seq(groupCol))
+      .where(col("abs_dev") > lit(k) * col("mad"))
+      .select(
+        col(groupCol), col(idCol), col(valueCol),
+        col("med"), col("mad"), col("abs_dev"),
+        lit("R_VALUE_OUTLIER").as("rule_id"),
+        lit("warning").as("severity"))
+  }
+
   /** Fixed-width value histogram (clamped top bucket) — groupBy on a derived
     * bucket key; partial aggregation makes this one shuffle of <=nBuckets
     * rows per task regardless of input size. */

@@ -59,6 +59,37 @@ object Validate {
     withViolations(docs, catalog)
       .select(col("doc_id") +: RuleSet.verdictCols(col("violations")): _*)
 
+  /** Per-partition validation metrics: for every value of `partCol` (the
+    * table's partition key — e.g. the shipdate day a lake layout would
+    * partition by), the document count, per-verdict-class counts, and total
+    * severity counts — the north rule's "per-partition pass/fail" rolled up
+    * as a first-class relation (the per-bucket metrics Checkpoint persists,
+    * here as one declarative query over the live table).
+    *
+    * Scale shape: the whole rule corpus evaluates inside the scan
+    * projection (zero pre-shuffle), then ONE aggregate keyed by the
+    * partition column. Partition keys are low-cardinality (~10^3 days) but
+    * every input row collapses to counters in the map-side partial
+    * aggregate, so each mapper ships <= |days| counter rows — a hot
+    * partition costs no more than an empty one. */
+  def partitionMetrics(docs: DataFrame, catalog: Map[String, String],
+                       partCol: String = "ship_day"): DataFrame = {
+    val perDoc = withViolations(docs, catalog)
+      .select(col(partCol) +: RuleSet.verdictCols(col("violations")): _*)
+    def classCount(cls: String) =
+      sum(when(col("verdict") === cls, 1L).otherwise(0L)).as(s"n_$cls")
+    perDoc
+      .groupBy(col(partCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        classCount("valid"), classCount("acceptable"),
+        classCount("invalid"), classCount("rejected"),
+        sum(col("n_fatal").cast("long")).as("n_fatal"),
+        sum(col("n_error").cast("long")).as("n_error"),
+        sum(col("n_warn").cast("long")).as("n_warn"),
+        sum(col("n_info").cast("long")).as("n_info"))
+  }
+
   /** Order-preserving span-sequence fingerprint via an aggregate HOF —
     * evidences the north-star invariant that the engine preserves exact
     * span-sequence semantics (kind, text, media_ref, order) without

@@ -17,15 +17,18 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail = 0
 for name, sql in sorted(oracle.items()):
+    # probe for spark output BEFORE running the oracle — a filtered
+    # SPARK_GRAFT_VERIFY_ONLY run dumps a subset, and the corpus-wide
+    # all-pairs oracles take an hour each; don't pay that for absent dumps
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fail += 1
+        continue
     try:
         exp = con.sql(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}")
-        fail += 1
-        continue
-    files = glob.glob(f"{out_dir}/{name}/*.parquet")
-    if not files:
-        print(f"FAIL {name}: no spark output")
         fail += 1
         continue
     got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()

@@ -93,6 +93,14 @@ object SparkEntry {
     // zero shuffles, a per-doc relation like validate_verdicts
     "validate_repair" -> ((s, d) =>
       Repair.repairAndRevalidate(DocGen.docs(s, d), DocGen.mediaCatalogMap(s, d))),
+    // month-over-month PSI drift timeline over the order-value histogram
+    "drift_timeline" -> ((s, d) => {
+      val o = graft.data.Tables.read(s, d, "orders").select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        col("o_totalprice"))
+      Drift.psiTimeline(o, "order_month", "o_totalprice",
+        width = 60000.0, nBuckets = 10)
+    }),
     // robust median/MAD distribution outliers per order month (integer
     // cents -> engine-portable exact percentile evidence)
     "stats_outliers" -> ((s, d) => {
@@ -620,6 +628,30 @@ object SparkEntry {
           |  CAST(ok%67=0 AND ok%83=0 AND ok%71<>0 AS INT) AS n_warn,
           |  CAST(ok%71=0 AS INT) AS n_info
           |FROM li) f""".stripMargin),
+      // month-over-month PSI: conditional-sum histogram + lag window, PSI
+      // as an EXPLICIT left-to-right 10-term chain — the same association
+      // order as the Spark reduce, so the float sum is bit-identical
+      "drift_timeline" -> {
+        val nb = 10
+        val csums = (0 until nb).map(i =>
+          s"CAST(SUM(CASE WHEN b=$i THEN 1 ELSE 0 END) AS BIGINT) AS c$i").mkString(", ")
+        val lags = (0 until nb).map(i =>
+          s"lag(c$i) OVER (ORDER BY period) AS p$i").mkString(", ")
+        val nCur = (0 until nb).map(i => s"c$i").mkString(" + ")
+        val nPrev = (0 until nb).map(i => s"p$i").mkString(" + ")
+        val terms = (0 until nb).map(i =>
+          s"(((p$i+0.5)/(n_prev+5.0)) - ((c$i+0.5)/(n_cur+5.0))) * ln(((p$i+0.5)/(n_prev+5.0)) / ((c$i+0.5)/(n_cur+5.0)))")
+          .mkString("\n          |    + ")
+        s"""WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS period,
+          |  CAST(least(greatest(floor(o_totalprice/60000.0), 0), ${nb - 1}) AS INT) AS b
+          |  FROM orders),
+          |h AS (SELECT period, $csums FROM o GROUP BY 1),
+          |l AS (SELECT *, $lags FROM h),
+          |t AS (SELECT *, $nCur AS n_cur, $nPrev AS n_prev FROM l)
+          |SELECT period, n_prev, n_cur,
+          |  round($terms, 6) AS psi
+          |FROM t WHERE n_prev IS NOT NULL""".stripMargin
+      },
       // robust median/MAD outlier recomputation; quantile_cont over integer
       // cents interpolates to exact .0/.5 doubles in both engines
       "stats_outliers" ->

@@ -135,6 +135,27 @@ object Checkpoint {
   def verdicts(spark: SparkSession, outDir: String): DataFrame =
     TableIO.read(spark, s"$outDir/verdicts")
 
+  private val sevRank = Map("info" -> 0, "warning" -> 1, "error" -> 2, "fatal" -> 3)
+
+  /** Severity-filtered stored-report query — the analog of the reference
+    * service answering "give me this upload's findings at Error and above"
+    * from the PERSISTED report rather than revalidating
+    * (`MTBValidationService.scala:15-19` query side). The severity filter is
+    * a plain IN over a scan column (pushes to the parquet reader's
+    * PushedFilters) and a bucket restriction prunes whole `bucket=N`
+    * directories via PartitionFilters — a report over a 100 TB violations
+    * store reads only the matching row groups of the requested buckets. */
+  def storedViolations(spark: SparkSession, outDir: String,
+                       minSeverity: String = "info",
+                       bucket: Option[Int] = None): DataFrame = {
+    val keep = sevRank.collect {
+      case (s, r) if r >= sevRank(minSeverity) => s
+    }.toSeq
+    val df = TableIO.read(spark, s"$outDir/violations")
+      .where(col("severity").isin(keep: _*))
+    bucket.fold(df)(b => df.where(col("bucket") === b))
+  }
+
   // ---- partition-watermark incremental validation --------------------------
 
   def watermarkPath(outDir: String) = s"$outDir/watermark"

@@ -82,6 +82,51 @@ object Drift {
           sum(when(col("cur") === 0, 1L).otherwise(0L)).as("ca"),
           sum(when(col("cur") === 1, 1L).otherwise(0L)).as("cb")))
 
+  /** Continuous-monitoring form: PSI of each period against its
+    * PREDECESSOR period, over a fixed-width value histogram — the drift
+    * timeline a daily/monthly validation run appends to, answering "when
+    * did the distribution move" rather than "has it moved vs one baseline".
+    *
+    * Scale shape: ONE groupBy on the period key with nBuckets conditional
+    * sums (map-side combine: each task emits <=|periods| rows of nBuckets
+    * counters — the corpus never moves), then a lag window over the
+    * <=|periods|-row frame (single partition, O(periods) rows —
+    * driver-negligible, same justification as psiKsFromCounts). Sparse
+    * periods compare against the latest PRESENT predecessor; empty buckets
+    * are dense zeros by construction of the conditional sums.
+    */
+  def psiTimeline(df: DataFrame, periodCol: String, valueCol: String,
+                  width: Double, nBuckets: Int): DataFrame = {
+    val bucket = least(greatest(floor(col(valueCol) / width), lit(0)), lit(nBuckets - 1))
+      .cast("int")
+    val perPeriod = df
+      .select(col(periodCol).as("period"), bucket.as("b"))
+      .groupBy("period")
+      .agg(
+        sum(when(col("b") === 0, 1L).otherwise(0L)).as("c0"),
+        (1 until nBuckets).map(i =>
+          sum(when(col("b") === i, 1L).otherwise(0L)).as(s"c$i")): _*)
+    val w = Window.partitionBy(lit(1)).orderBy("period")
+    val lagged = (0 until nBuckets).foldLeft(perPeriod) { (d, i) =>
+      d.withColumn(s"p$i", lag(col(s"c$i"), 1).over(w))
+    }
+    val nCur = (0 until nBuckets).map(i => col(s"c$i")).reduce(_ + _)
+    val nPrev = (0 until nBuckets).map(i => col(s"p$i")).reduce(_ + _)
+    val half = nBuckets * 0.5
+    val withTotals = lagged
+      .withColumn("n_cur", nCur)
+      .withColumn("n_prev", nPrev)
+    val psiTerms = (0 until nBuckets).map { i =>
+      val pa = (col(s"p$i") + 0.5) / (col("n_prev") + half)
+      val pb = (col(s"c$i") + 0.5) / (col("n_cur") + half)
+      (pa - pb) * log(pa / pb)
+    }.reduce(_ + _)
+    withTotals
+      .where(col("n_prev").isNotNull) // the first period has no predecessor
+      .select(col("period"), col("n_prev"), col("n_cur"),
+        round(psiTerms, 6).as("psi"))
+  }
+
   private def rulePsiFromCounts(counts: DataFrame): DataFrame = {
     val whole = Window.partitionBy(lit(1))
     val n = counts.withColumn("nrules", count(lit(1)).over(whole))

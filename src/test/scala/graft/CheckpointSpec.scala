@@ -89,4 +89,29 @@ class CheckpointSpec extends SparkSpec {
       Checkpoint.run(spark, "/root/testdata/sf0.01", dir, nBuckets = 4)
     }
   }
+
+  test("stored-report query: severity filter pushes to the scan, bucket prunes partitions") {
+    val dir = Files.createTempDirectory("graft-report").toString
+    Checkpoint.run(spark, sf, dir, nBuckets = 4)
+    // counts agree with an in-memory recomputation at each threshold
+    val all = Validate.violations(DocGen.docs(spark, sf),
+      DocGen.mediaCatalogMap(spark, sf))
+    val errUp = Checkpoint.storedViolations(spark, dir, minSeverity = "error")
+    assert(errUp.count() ==
+      all.where(col("severity").isin("error", "fatal")).count())
+    assert(Checkpoint.storedViolations(spark, dir, minSeverity = "info").count()
+      == all.count())
+    // severity filter reaches the parquet reader
+    val s = errUp.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(s.contains("PushedFilters") && s.contains("In(severity"),
+      s"severity must push down:\n$s")
+    // a bucket restriction prunes bucket=N directories, not just rows
+    val one = Checkpoint.storedViolations(spark, dir, "error", bucket = Some(2))
+    val sp = one.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(sp.contains("PartitionFilters") && sp.contains("bucket"),
+      s"bucket must prune partitions:\n$sp")
+    assert(one.count() > 0)
+  }
 }

@@ -60,6 +60,35 @@ class EngineSpec extends SparkSpec {
     assert(m("ks") > 0.9)
   }
 
+  test("drift timeline: stable periods stay near zero, the shifted period spikes") {
+    // periods a,b identical uniform [0,100); period c shifted to [50,150)
+    val rows = (0 until 1000).map(i => ("a", i % 100)) ++
+      (0 until 1000).map(i => ("b", i % 100)) ++
+      (0 until 1000).map(i => ("c", 50 + i % 100))
+    val df = rows.toDF("p", "v")
+    val out = Drift.psiTimeline(df, "p", "v", width = 15.0, nBuckets = 10)
+      .collect().map(r => r.getAs[String]("period") -> r.getAs[Double]("psi")).toMap
+    assert(out.keySet == Set("b", "c")) // first period has no predecessor
+    assert(math.abs(out("b")) < 1e-9, s"identical periods must give ~0, got ${out("b")}")
+    assert(out("c") > 0.5, s"shifted period must spike, got ${out("c")}")
+    // totals carried as evidence
+    val row = Drift.psiTimeline(df, "p", "v", 15.0, 10)
+      .where(col("period") === "c").head()
+    assert(row.getAs[Long]("n_prev") == 1000L && row.getAs[Long]("n_cur") == 1000L)
+  }
+
+  test("drift timeline plan: one keyed shuffle for the histogram, window only over the period frame") {
+    val o = spark.read.parquet(s"$sf/orders.parquet").select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("m"), col("o_totalprice"))
+    val df = Drift.psiTimeline(o, "m", "o_totalprice", 60000.0, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    val keyed = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one shuffle for the per-period aggregate + the single-partition
+    // exchange feeding the O(periods) window
+    assert(keyed == 1, s"expected one keyed shuffle:\n$plan")
+    assert(plan.contains("partial"), "histogram must partial-aggregate map-side")
+  }
+
   test("predicates and projections push down to the parquet scan") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .where(col("l_quantity") > 49).select("l_orderkey", "l_quantity")

@@ -142,10 +142,10 @@ object Curation {
         .bloomAgg(col("h"), nItems, nItems * bitsPerItem).as("b"))
       .head().getAs[Array[Byte]](0)
     corpus
-      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
-        size(filter(col("sh"), s => graft.functions.BloomExprs
-          .mightContain(lit(blob), xxhash64(s)))).as("n_contam"))
+      .select(col("doc_id"),
+        graft.functions.BloomContamCount(col("text"), blob).as("r"))
+      .select(col("doc_id"), col("r.n_shingles").as("n_shingles"),
+        col("r.n_contam").as("n_contam"))
       .where(col("n_contam") >= minMatches)
       .select(col("doc_id"), col("n_shingles"), col("n_contam"),
         round(col("n_contam").cast("double") / col("n_shingles"), 6)

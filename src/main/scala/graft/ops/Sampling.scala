@@ -193,11 +193,21 @@ object Sampling {
     * partitioned by shard — the final sink of the curation pipeline
     * (mixture-sampled docs land in fixed shards a trainer consumes with
     * partition pruning, one directory per shard). Returns the manifest it
-    * also persists alongside (`<path>_manifest`). */
+    * also persists alongside (`<path>_manifest`).
+    *
+    * The write repartitions ON THE SHARD KEY first: without it every input
+    * task opens a writer into every shard directory (tasks x shards small
+    * files + that many commit operations — measured 5.9 s vs 1.3 s at
+    * sf0.1 going 8 -> 32 cores on commit overhead alone, and at production
+    * scale a 10^4-task x 10^3-shard write is 10^7 files). After the keyed
+    * repartition each task holds whole shards, so the file count is
+    * bounded by nShards (+hash-collision doubling), independent of read
+    * parallelism. */
   def writeShards(corpus: DataFrame, path: String, nShards: Int = 16,
                   salt: String = "shard"): DataFrame = {
     graft.engine.TableIO.overwritePartitions(
-      corpus.withColumn("shard", shardOf(col("doc_id"), nShards, salt)),
+      corpus.withColumn("shard", shardOf(col("doc_id"), nShards, salt))
+        .repartition(nShards, col("shard")),
       path, Seq("shard"))
     val manifest = shardManifest(corpus, nShards, salt)
     graft.engine.TableIO.write(manifest, s"${path}_manifest")

@@ -93,6 +93,10 @@ object SparkEntry {
     // zero shuffles, a per-doc relation like validate_verdicts
     "validate_repair" -> ((s, d) =>
       Repair.repairAndRevalidate(DocGen.docs(s, d), DocGen.mediaCatalogMap(s, d))),
+    // heavy-hitter key diagnosis on the event entity key — the skew
+    // measurement that precedes salting/broadcast decisions
+    "stats_heavy_keys" -> ((s, d) =>
+      Stats.heavyKeys(graft.data.Tables.read(s, d, "events"), "user_id", k = 20)),
     // month-over-month PSI drift timeline over the order-value histogram
     "drift_timeline" -> ((s, d) => {
       val o = graft.data.Tables.read(s, d, "orders").select(
@@ -628,6 +632,15 @@ object SparkEntry {
           |  CAST(ok%67=0 AND ok%83=0 AND ok%71<>0 AS INT) AS n_warn,
           |  CAST(ok%71=0 AS INT) AS n_info
           |FROM li) f""".stripMargin),
+      // heavy keys: exact counts, integer-ppm share, deterministic
+      // (cnt DESC, key ASC) tiebreak
+      "stats_heavy_keys" ->
+        """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+          |t AS (SELECT SUM(cnt) AS total FROM c)
+          |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+          |       CAST((cnt * 1000000) // total AS BIGINT) AS ppm
+          |FROM c CROSS JOIN t
+          |ORDER BY cnt DESC, user_id ASC LIMIT 20""".stripMargin,
       // month-over-month PSI: conditional-sum histogram + lag window, PSI
       // as an EXPLICIT left-to-right 10-term chain — the same association
       // order as the Spark reduce, so the float sum is bit-identical

@@ -64,6 +64,29 @@ object Stats {
     u.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Heavy-hitter key diagnosis: the k most frequent values of a key
+    * column with exact counts and integer parts-per-million share — the
+    * measurement that PRECEDES every skew decision in this engine (salt or
+    * not, broadcast or not, AQE skew-join thresholds). north_rule:
+    * "partitioning / shuffle / skew handled explicitly" — explicitly
+    * handled starts with explicitly measured.
+    *
+    * Scale shape: one map-side-combined groupBy on the key (each task
+    * emits one row per distinct key it saw), a driver-scale total, and a
+    * TakeOrderedAndProject top-k (per-partition heaps, never a global
+    * sort). Ties break deterministically by key value. The ppm share is
+    * exact integer arithmetic — no float drift between engines. */
+  def heavyKeys(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        expr("cnt * 1000000 div total").as("ppm"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Robust per-group outlier scan (median/MAD): rows whose value deviates
     * from their group's median by more than `k` times the median absolute
     * deviation — the distribution-plausibility rule a stats engine runs

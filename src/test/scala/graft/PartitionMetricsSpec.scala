@@ -66,6 +66,20 @@ class PartitionMetricsSpec extends SparkSpec {
     assert(r.getAs[String]("rule_id") == "R_VALUE_OUTLIER")
   }
 
+  test("heavyKeys: exact counts, ppm shares, deterministic tiebreak, top-k plan") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d")).toDF("k")
+    val out = graft.engine.Stats.heavyKeys(df, "k", 3).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b", "c")) // c beats d, b before c on key
+    assert(out.head.getAs[Long]("cnt") == 6L)
+    assert(out.head.getAs[Long]("ppm") == 461538L) // 6*1e6 div 13, exact
+    val plan = graft.engine.Stats.heavyKeys(
+      graft.data.Tables.read(spark, sf, "events"), "user_id", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a heap, not a global sort:\n$plan")
+  }
+
   test("outliers plan: group medians broadcast against the fact, no window") {
     val o = graft.data.Tables.read(spark, sf, "orders").select(
       date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),

@@ -12,6 +12,45 @@ import org.apache.spark.sql.SparkSession
   * prune the whole rule projection and time an empty scan.
   */
 object Bench {
+  /** Locale.ROOT: the f-interpolator uses the JVM default locale, which would
+    * emit comma decimals (and silently corrupt the JSON) on
+    * comma-decimal-locale hosts. NaN (a failed rep) maps to JSON null.
+    */
+  private[graft] def f3(d: Double): String =
+    if (d.isNaN) "null"
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** The FINAL stdout line: compact, always-parseable summary. The driver
+    * captures the tail of stdout and parses the last JSON line, so the
+    * per-query minimums and docs/sec live here and the big diagnostic maps
+    * go on the (earlier) diagnostics line — round 4's single giant line
+    * pushed `queries` out of the tail window ("parsed": null).
+    */
+  private[graft] def summaryLine(total: Double, queries: Seq[(String, Double)],
+      sfDir: String, cpus: String, nDocs: Long, docsPerSec: Double): String = {
+    val qs = queries.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":$docsPerSec}"""
+  }
+
+  /** The verbose diagnostics line (chronological per-rep samples, aligned
+    * per-(query, rep) calib probes, optional per-stage trace) — printed
+    * BEFORE the summary so tail capture never truncates the summary.
+    */
+  private[graft] def diagnosticsLine(names: Seq[String], sfDir: String,
+      cpus: String, calib: Seq[Double],
+      samples: collection.Map[String, List[Double]],
+      calibQ: collection.Map[String, List[Double]],
+      stages: Option[String]): String = {
+    def seriesJson(m: collection.Map[String, List[Double]]): String =
+      names.map(n => "\"" + n + "\":" +
+        m.getOrElse(n, Nil).reverse.map(f3).mkString("[", ",", "]"))
+        .mkString("{", ",", "}")
+    val cal = calib.map(f3).mkString("[", ",", "]")
+    val stagesJson = stages.map(s => s""","stages":$s""").getOrElse("")
+    s"""{"metric":"diagnostics","sf":"$sfDir","cpus":$cpus,"calib_sec":$cal,"samples":${seriesJson(samples)},"calib_q":${seriesJson(calibQ)}$stagesJson}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -100,14 +139,22 @@ object Bench {
       names.foreach { name =>
         // per-rep try: a transient failure must not discard other reps'
         // timings; -1.0 only when every rep failed
+        // probe and timing are recorded TOGETHER: on a failed rep the
+        // sample list gets NaN so calib_q(i) always aligns with samples(i)
+        // (a probe with no matching sample silently breaks the documented
+        // per-(query, rep) attribution)
+        val probe = calibrate()
         try {
-          calibQ(name) = calibrate() :: calibQ(name)
           val t = force(name)
           System.err.println(f"[bench-rep] $name round$r $t%.2f s")
+          calibQ(name) = probe :: calibQ(name)
           samples(name) = t :: samples(name)
         } catch { case e: Throwable =>
           // swallowing a rep keeps the suite going, but the cause must be
-          // visible — a -1.0 with no trace is undebuggable
+          // visible — a NaN sample with a stderr trace keeps the series
+          // aligned AND debuggable
+          calibQ(name) = probe :: calibQ(name)
+          samples(name) = Double.NaN :: samples(name)
           System.err.println(s"[bench-rep] $name round$r FAILED: " +
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
         }
@@ -138,30 +185,19 @@ object Bench {
         Some(s"""{"dedup_minhash_lsh":{"cum_banding":${f(bT)},"cum_candidates":${f(cT)},"full":${f(samples("dedup_minhash_lsh").min)},"stage_calib":[${f(bC)},${f(cC)}]}}""")
       } catch { case _: Throwable => None }
     val results = names.map { name =>
-      val sec = if (samples(name).isEmpty) -1.0 else samples(name).min
+      val ok = samples(name).filterNot(_.isNaN)
+      val sec = if (ok.isEmpty) -1.0 else ok.min
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
       name -> sec
     }
     val nDocs = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val verdictSec = results.toMap.getOrElse("validate_verdicts", -1.0)
     val docsPerSec = if (verdictSec > 0) nDocs / verdictSec else -1.0
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
-    // would emit comma decimals (and silently corrupt the JSON) on
-    // comma-decimal-locale hosts
-    def f3(d: Double) =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val cal = calib.map(f3).mkString("[", ",", "]")
-    // chronological per-rep samples + per-(query, rep) calib probes: a
-    // reported minimum is trustworthy iff its rep's probe sat at the
-    // single-thread floor (~0.13 s on this box)
-    def seriesJson(m: collection.Map[String, List[Double]]): String =
-      names.map(n => "\"" + n + "\":" +
-        m(n).reverse.map(f3).mkString("[", ",", "]")).mkString("{", ",", "}")
-    val stagesJson = stages.map(s => s""","stages":$s""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":$docsPerSec,"calib_sec":$cal,"samples":${seriesJson(samples)},"calib_q":${seriesJson(calibQ)}$stagesJson}""")
+    // TWO lines, verbose diagnostics FIRST, compact summary LAST — see the
+    // Scaladoc on summaryLine/diagnosticsLine for why the order matters.
+    println(diagnosticsLine(names, sfDir, cpus, calib, samples, calibQ, stages))
+    println(summaryLine(total, results, sfDir, cpus, nDocs, docsPerSec))
     spark.stop()
   }
 }

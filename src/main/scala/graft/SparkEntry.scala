@@ -266,7 +266,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => {
       val docs = graft.data.Tables.read(s, d, "documents")
       val old = docs.select(col("doc_id"), col("text"))
-      val path = s"/tmp/graft_minhash_index_${Integer.toHexString(d.hashCode)}"
+      val path = artifactPath("minhash_index", d)
       ops.Dedup.minhashBuildIndex(old, path)
       ops.Dedup.minhashIncrementalPairs(
         s, path, ops.Dedup.corpusIncrementalBatch(docs), old)
@@ -291,7 +291,7 @@ object SparkEntry {
     // approximate op; equality with the one-shot IVF asserted in OpsSpec)
     "sim_ann_ivf_index" -> ((s, d) => {
       val emb = graft.data.Tables.read(s, d, "embeddings")
-      val path = s"/tmp/graft_ivf_index_${Integer.toHexString(d.hashCode)}"
+      val path = artifactPath("ivf_index", d)
       ops.Similarity.ivfBuildIndex(emb, path)
       ops.Similarity.ivfProbeIndex(s, path, emb)
     }),
@@ -300,7 +300,7 @@ object SparkEntry {
     // with static partition pruning and asymmetric re-rank
     "sim_ann_ivf_sq8" -> ((s, d) => {
       val emb = graft.data.Tables.read(s, d, "embeddings")
-      val path = s"/tmp/graft_ivf_sq8_${Integer.toHexString(d.hashCode)}"
+      val path = artifactPath("ivf_sq8", d)
       ops.Similarity.ivfSq8BuildIndex(emb, path)
       ops.Similarity.ivfSq8ProbeIndex(s, path, emb)
     }),
@@ -381,7 +381,7 @@ object SparkEntry {
     "shard_manifest" -> ((s, d) =>
       ops.Sampling.writeShards(
         graft.data.Tables.read(s, d, "documents"),
-        s"/tmp/graft_shards_${Integer.toHexString(d.hashCode)}")),
+        artifactPath("shards", d))),
     // CCNet-shaped LM-proxy: bigram model counted on the doc_id%10<8
     // reference slice, every doc scored by bigram familiarity (integers)
     "text_bigram_lm" -> ((s, d) =>
@@ -452,7 +452,17 @@ object SparkEntry {
     * (idempotent overwrite: whichever statistics query runs first builds
     * it; a production pipeline builds it once per corpus snapshot). */
   private def tfTablePath(sfDir: String): String =
-    s"/tmp/graft_tf_${Integer.toHexString(sfDir.hashCode)}"
+    artifactPath("tf", sfDir)
+
+  /** Scratch-artifact path for a (kind, sf dir) pair, discriminated by PID:
+    * two CONCURRENT runs on the same sf dir (e.g. parallel Bench at
+    * local[8] and local[32]) must not race on one /tmp table — one would
+    * overwrite the parquet while the other reads it. Within a process the
+    * path is stable, so repeated bench reps and co-located queries still
+    * reuse the built artifact. (A production pipeline passes explicit
+    * per-snapshot table locations through TableIO instead.) */
+  private def artifactPath(kind: String, sfDir: String): String =
+    s"/tmp/graft_${kind}_${Integer.toHexString(sfDir.hashCode)}_p${ProcessHandle.current().pid()}"
 
   /** DuckDB oracles. Expected violations are recomputed from the injection
     * predicates (pure functions of l_orderkey) — an independent derivation

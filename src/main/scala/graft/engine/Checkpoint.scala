@@ -148,6 +148,8 @@ object Checkpoint {
   def storedViolations(spark: SparkSession, outDir: String,
                        minSeverity: String = "info",
                        bucket: Option[Int] = None): DataFrame = {
+    require(sevRank.contains(minSeverity),
+      s"unknown severity '$minSeverity' (expected one of ${sevRank.keys.toSeq.sorted.mkString(", ")})")
     val keep = sevRank.collect {
       case (s, r) if r >= sevRank(minSeverity) => s
     }.toSeq

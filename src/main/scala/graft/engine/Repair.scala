@@ -51,10 +51,15 @@ object Repair {
 
   /** How many of the four repair predicates fire across the array —
     * counted on the original spans, so it equals the number of span fields
-    * the transform actually rewrites. */
+    * the transform actually rewrites. The case-fold count mirrors the
+    * transform's when-chain precedence: a first span whose text the
+    * media-drop branch already nulls out is never uppercased, so it must
+    * not count as a case-fold repair (null-safe: a null kind is not
+    * 'media'). */
   def repairCount(spans: Column): Column =
     size(filter(spans, (s, i) =>
-      i === 0 && s.getField("text").rlike("^[a-z]{2}$"))) +
+      i === 0 && s.getField("text").rlike("^[a-z]{2}$") &&
+        !(s.getField("kind") <=> "media"))) +
       size(filter(spans, s =>
         s.getField("kind") === "media" && s.getField("text").isNotNull)) +
       size(filter(spans, (s, i) =>

@@ -109,13 +109,24 @@ object Stats {
     * the fact table is never window-partitioned (a hot group would
     * serialize its rows onto one task under a window, but aggregates
     * combine map-side).
+    *
+    * The narrow fact⋈medians projection is PERSISTED: it is referenced by
+    * both the MAD aggregate and the output join, and Spark re-executes
+    * shared subplans — without the persist a 100 TB fact is scanned three
+    * times (med, mad, output) where two passes (median-then-MAD is
+    * inherently two) suffice. OutlierScanSpec counts the FileScans in the
+    * executed plan. MEMORY_AND_DISK (the default) so an over-memory
+    * partition spills instead of recomputing — recompute here IS the third
+    * scan we're avoiding.
     */
   def outliers(df: DataFrame, groupCol: String, idCol: String,
                valueCol: String, k: Double): DataFrame = {
     val med = df.groupBy(col(groupCol))
       .agg(expr(s"percentile($valueCol, 0.5D)").as("med"))
-    val withMed = df.join(med, Seq(groupCol))
+    val withMed = df.select(col(groupCol), col(idCol), col(valueCol))
+      .join(med, Seq(groupCol))
       .withColumn("abs_dev", abs(col(valueCol) - col("med")))
+      .persist()
     val mad = withMed.groupBy(col(groupCol))
       .agg(expr("percentile(abs_dev, 0.5D)").as("mad"))
     withMed.join(mad, Seq(groupCol))

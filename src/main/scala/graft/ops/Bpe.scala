@@ -1,59 +1,46 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Trained byte-pair-encoding tokenizer (Sennrich et al. 2016) — the op a
-  * training-data pipeline actually budgets tokens with, distributed:
+  * training-data pipeline actually budgets tokens with.
   *
-  * Training runs on the WORD-FREQUENCY table, never the corpus: the corpus
-  * collapses once into (word, cnt) rows (vocabulary-sized — ~10^6-10^7
-  * entries at any corpus scale, because natural-language vocabulary grows
-  * ~sublinearly in corpus size), and every merge round is one adjacent-pair
-  * aggregate over that table (map-side combinable, output is
-  * pair-vocabulary-sized) plus one row-local merge application. Per-round
-  * persist keeps the lineage one round deep (same shape as
-  * Dedup.dupClusters); the argmax is a TakeOrdered (bounded heap), and the
-  * driver holds only the O(nMerges) merge list — never the vocabulary.
+  * Division of labor (the shape real BPE trainers use — subword-nmt,
+  * HuggingFace tokenizers — with Spark supplying the corpus-scale halves):
   *
-  * Encoding exploits that BPE encoding is a pure function of the WORD: the
-  * trained vocabulary table (word -> final symbol pieces) is joined to the
-  * corpus token stream (many-to-one on word; hot words are AQE skew-join
-  * territory, same as TextAnalysis.tokenFreqStats) — no per-document merge
-  * replay. Out-of-vocabulary words (encoding a DIFFERENT corpus than the
-  * training one) fall back to character count, the untrained-symbol floor.
+  *   1. CORPUS -> WORD-FREQUENCY TABLE: one distributed aggregate. The
+  *      output is vocabulary-sized — ~10^6-10^7 entries at ANY corpus scale,
+  *      because natural-language vocabulary grows sublinearly (Heaps' law)
+  *      — i.e. driver-safe by construction, ~100s of MB at the extreme.
+  *   2. MERGE LOOP: driver-side over the collected table, with INCREMENTAL
+  *      pair-count maintenance (only words containing the merged pair are
+  *      touched, via a pair->words inverted index) and a lazy-deletion
+  *      max-heap for the argmax. A 50k-merge production run is 50k heap
+  *      pops + bounded word rewrites — no Spark jobs at all. The previous
+  *      formulation paid 2+ distributed jobs per merge (aggregate +
+  *      limit(1).collect() + eager localCheckpoint): correct, but ~10^5
+  *      sequential Spark jobs at real vocab sizes — the loop, not the data,
+  *      was the scale-killer.
+  *   3. ENCODE: distributed again. BPE encoding is a pure function of the
+  *      WORD, so the trained vocabulary (word -> piece count) joins to the
+  *      corpus token stream (many-to-one on word; hot words are AQE
+  *      skew-join territory, same as TextAnalysis.tokenFreqStats) — no
+  *      per-document merge replay.
+  *
+  * Out-of-vocabulary words (encoding a DIFFERENT corpus than the training
+  * one) fall back to character count, the untrained-symbol floor.
   *
   * Determinism: the merge picked each round is (count DESC, a ASC, b ASC) —
   * a total order, so the merge sequence is reproducible across cluster
-  * sizes and engines; the spec cross-checks it against an independent
+  * sizes and engines; BpeSpec cross-checks it against an independent
   * single-node reference implementation. Registered rows-only all the same:
   * the oracle harness cannot express an iterated argmax loop in one SQL
   * statement.
   */
 object Bpe {
-
-  /** Adjacent symbol pairs of one round's symbol arrays, weighted by word
-    * count. (sequence(1, n-1) guarded: it runs DESCENDING for n < 2.) */
-  private def pairStats(vocab: DataFrame): DataFrame =
-    vocab
-      .select(col("cnt"), explode_outer(
-        when(size(col("sym")) >= 2,
-          transform(sequence(lit(1), size(col("sym")) - 1), i =>
-            struct(element_at(col("sym"), i).as("a"),
-              element_at(col("sym"), i + 1).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
-      .where(col("p").isNotNull)
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(sum("cnt").as("n"))
-
-  /** Greedy leftmost non-overlapping replacement of adjacent (a, b) by the
-    * merged symbol — one left fold per word, row-local. try_element_at:
-    * element_at(-1) on the empty initial accumulator raises under ANSI. */
-  private def applyMerge(sym: Column, a: String, b: String): Column =
-    aggregate(sym, array().cast("array<string>"), (acc, s) =>
-      when(try_element_at(acc, lit(-1)) === lit(a) && s === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(s))))
 
   /** The corpus word-frequency table with initial single-character symbol
     * arrays: (word, cnt, sym). */
@@ -64,44 +51,129 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("sym", filter(split(col("word"), ""), s => length(s) > 0))
 
-  /** Train nMerges merges. Returns the ordered merge list and the final
-    * trained vocabulary (word, cnt, sym) — materialized in the block
-    * manager (participant-scale; the ContextCleaner reclaims it once
-    * unreferenced). Stops early when no pair occurs twice.
+  /** Greedy leftmost non-overlapping replacement of adjacent (a, b) by the
+    * merged symbol — the same fold contract the old Catalyst expression
+    * implemented, now a plain driver-side function. */
+  private def applyMerge(sym: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var last: String = null
+    sym.foreach { s =>
+      if (last == a && s == b) { last = a + b }
+      else { if (last != null) out += last; last = s }
+    }
+    if (last != null) out += last
+    out.result()
+  }
+
+  /** In-memory merge-loop trainer over a (word, cnt) map. Exposed for the
+    * spec; `train` wraps it with the Spark collect/parallelize halves.
     *
-    * Each round ends in `localCheckpoint(eager)` — NOT a plain persist:
-    * persist caches the DATA but leaves the logical plan chained, and
-    * after CollapseProject round r's analysis/codegen works on r nested
-    * fold expressions — measured super-linear (29 s at 12 rounds, 96 s at
-    * 16, heap-exhausted at 20 on the sandbox corpus). Checkpointing cuts
-    * the lineage to the materialized RDD, making every round O(1) in plan
-    * size (same motivation as dupClusters' per-round persist, one step
-    * stronger because here the per-round EXPRESSION is expensive, not just
-    * the join tree). localCheckpoint trades fault-tolerance for speed (an
-    * executor loss forces a job restart); a production run over a
-    * 10^7-word vocabulary uses reliable `checkpoint()` onto the job's
-    * scratch storage — one tiny table per round. */
-  def train(documents: DataFrame, nMerges: Int): (Seq[(String, String)], DataFrame) = {
-    var vocab = wordTable(documents).localCheckpoint(true)
+    * Incremental maintenance: `stats` holds live pair counts; `index` maps
+    * each pair to the set of word ids that (possibly) contain it — an
+    * over-approximation pruned lazily (a word is skipped if the merge no
+    * longer applies). The argmax heap uses lazy deletion: a popped entry
+    * whose count disagrees with `stats` re-pushes the live count instead of
+    * selecting. Both are the standard subword-nmt bookkeeping.
+    */
+  private[graft] def trainInMemory(wordCounts: Seq[(String, Long)], nMerges: Int)
+  : (Seq[(String, String)], Array[(String, Long, Vector[String])]) = {
+    val words = wordCounts.map(_._1).toArray
+    val cnts = wordCounts.map(_._2).toArray
+    val syms = words.map(w => w.split("").filter(_.nonEmpty).toVector)
+
+    val stats = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    val index = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    def pairsOf(sym: Vector[String]): Iterator[(String, String)] =
+      if (sym.length < 2) Iterator.empty
+      else sym.iterator.zip(sym.iterator.drop(1))
+    var i = 0
+    while (i < syms.length) {
+      pairsOf(syms(i)).foreach { p =>
+        stats(p) += cnts(i)
+        index.getOrElseUpdate(p, mutable.Set.empty) += i
+      }
+      i += 1
+    }
+
+    // max-heap: count DESC, then a ASC, b ASC (reversed string compare makes
+    // the lexicographically smaller pair the "greater" heap element)
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.fromLessThan { case ((n1, a1, b1), (n2, a2, b2)) =>
+        if (n1 != n2) n1 < n2
+        else if (a1 != a2) a1 > a2
+        else b1 > b2
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+    stats.foreach { case ((a, b), n) => if (n >= 2) heap.enqueue((n, a, b)) }
+
     val merges = Seq.newBuilder[(String, String)]
-    var round = 0
+    var made = 0
     var done = false
-    while (!done && round < nMerges) {
-      val top = pairStats(vocab)
-        .where(col("n") >= 2) // a single occurrence never merges usefully
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
-      else {
-        val (a, b) = (top.head.getString(0), top.head.getString(1))
+    while (!done && made < nMerges) {
+      // pop until the top entry's count is live; stale entries re-push the
+      // live count (lazy deletion — a decreased pair must not be lost)
+      var picked: Option[(String, String)] = None
+      while (picked.isEmpty && !done) {
+        if (heap.isEmpty) done = true
+        else {
+          val (n, a, b) = heap.dequeue()
+          val live = stats((a, b))
+          if (live == n && n >= 2) picked = Some((a, b))
+          else if (live >= 2) heap.enqueue((live, a, b))
+          // live < 2: drop — never eligible again unless a future merge
+          // re-raises it, which re-enqueues below
+        }
+      }
+      picked.foreach { case (a, b) =>
         merges += ((a, b))
-        vocab = vocab
-          .withColumn("sym", applyMerge(col("sym"), a, b))
-          .localCheckpoint(true)
-        round += 1
+        made += 1
+        val touched = mutable.Set.empty[(String, String)]
+        index.getOrElse((a, b), mutable.Set.empty).toArray.foreach { w =>
+          val old = syms(w)
+          val nw = applyMerge(old, a, b)
+          if (nw.length != old.length) { // the pair actually occurred
+            pairsOf(old).foreach { p => stats(p) -= cnts(w); touched += p }
+            pairsOf(nw).foreach { p =>
+              stats(p) += cnts(w); touched += p
+              index.getOrElseUpdate(p, mutable.Set.empty) += w
+            }
+            syms(w) = nw
+          }
+        }
+        // re-enqueue live counts for every touched pair; stale heap entries
+        // are handled by the lazy-deletion pop above. The merged pair itself
+        // ends at count 0 and is never re-enqueued — unless a merge
+        // genuinely re-created it, in which case it competes again, exactly
+        // as the from-scratch recount of the reference implementation would
+        // count it.
+        touched.foreach { p =>
+          val n = stats(p)
+          if (n >= 2) heap.enqueue((n, p._1, p._2))
+        }
       }
     }
-    (merges.result(), vocab)
+    (merges.result(), words.indices.map(j => (words(j), cnts(j), syms(j))).toArray)
+  }
+
+  /** Train nMerges merges. Returns the ordered merge list and the final
+    * trained vocabulary (word, cnt, sym) as a DataFrame. Stops early when
+    * no pair occurs twice.
+    *
+    * One Spark job in, one parallelize out: the (word, cnt) collect is
+    * vocabulary-sized (Heaps' law — see the object Scaladoc), the merge
+    * loop never leaves the driver, and the returned vocabulary DataFrame is
+    * the same participant-scale table the join-side encode consumes.
+    */
+  def train(documents: DataFrame, nMerges: Int): (Seq[(String, String)], DataFrame) = {
+    val spark = documents.sparkSession
+    val wc = wordTable(documents).select("word", "cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1) // deterministic word order for the parallelized output
+    val (merges, vocab) = trainInMemory(wc.toSeq, nMerges)
+    import spark.implicits._
+    val vocabDf = spark.createDataset(vocab.toSeq)
+      .toDF("word", "cnt", "sym")
+    (merges, vocabDf)
   }
 
   /** Per-doc token budget from a trained vocabulary: join each document's
@@ -121,8 +193,11 @@ object Bpe {
   }
 
   /** The registered end-to-end query: train on the corpus, encode the
-    * corpus. */
-  def trainedTokenCounts(documents: DataFrame, nMerges: Int = 20): DataFrame = {
+    * corpus. nMerges=1000 is past the point where the old per-merge-job
+    * formulation stalled (each merge now costs heap pops + bounded word
+    * rewrites on the driver, no jobs) while staying early-stop-bounded on
+    * the sandbox corpus. */
+  def trainedTokenCounts(documents: DataFrame, nMerges: Int = 1000): DataFrame = {
     val (_, vocab) = train(documents, nMerges)
     encodeCounts(documents, vocab)
   }

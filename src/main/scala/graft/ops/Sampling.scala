@@ -149,24 +149,6 @@ object Sampling {
         concat_ws(" ", col("kept")).as("text_dedup"))
   }
 
-  /** Corpus mixture resampling — the "data mixing" step that shapes a
-    * training corpus to per-stratum TOKEN budgets (per-language /
-    * per-source proportions), deterministically. Each stratum's keep rate
-    * is the integer basis-point floor(budget*10000 / stratum_tokens),
-    * clamped to 10000; a doc is kept iff its md5 basis-point bucket
-    * ([[hashBucket]], salted) falls under the rate. Exact integer
-    * arithmetic end to end (the `div` integral divide, exact past 2^53
-    * where a double quotient is not) — the assignment is engine-portable
-    * auditable truth, like [[hashSplit]]. Expected kept tokens per stratum
-    * = budget up to hash-uniformity noise; identical decisions on any
-    * cluster size or re-run.
-    *
-    * Scale shape: one map-side-combined aggregate to a STRATA-sized rate
-    * table (driver-scale), joined back (AQE broadcasts it — never the
-    * corpus side); the keep decision is row-local. The corpus is tokenized
-    * twice (totals pass + decision pass) — same two-phase tradeoff as
-    * [[packContiguous]], and same remedy at production scale: persist the
-    * (doc_id, stratum, n_tokens) projection once via TableIO. */
   /** Deterministic shard assignment: pmod of the salted md5 hash — a pure
     * row-local function of doc_id, so the same doc lands in the same shard
     * on any cluster size, re-run, or engine (unlike spark_partition_id /
@@ -257,6 +239,24 @@ object Sampling {
         (col("bucket_offset") + col("local_rank")).as("rank"))
   }
 
+  /** Corpus mixture resampling — the "data mixing" step that shapes a
+    * training corpus to per-stratum TOKEN budgets (per-language /
+    * per-source proportions), deterministically. Each stratum's keep rate
+    * is the integer basis-point floor(budget*10000 / stratum_tokens),
+    * clamped to 10000; a doc is kept iff its md5 basis-point bucket
+    * ([[hashBucket]], salted) falls under the rate. Exact integer
+    * arithmetic end to end (the `div` integral divide, exact past 2^53
+    * where a double quotient is not) — the assignment is engine-portable
+    * auditable truth, like [[hashSplit]]. Expected kept tokens per stratum
+    * = budget up to hash-uniformity noise; identical decisions on any
+    * cluster size or re-run.
+    *
+    * Scale shape: one map-side-combined aggregate to a STRATA-sized rate
+    * table (driver-scale), joined back (AQE broadcasts it — never the
+    * corpus side); the keep decision is row-local. The corpus is tokenized
+    * twice (totals pass + decision pass) — same two-phase tradeoff as
+    * [[packContiguous]], and same remedy at production scale: persist the
+    * (doc_id, stratum, n_tokens) projection once via TableIO. */
   def sampleMixture(corpus: DataFrame, stratum: Column,
                     budgetTokens: Long = 5000,
                     salt: String = "mix"): DataFrame = {

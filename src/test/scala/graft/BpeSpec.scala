@@ -83,6 +83,39 @@ class BpeSpec extends SparkSpec {
     assert(counts == refCounts)
   }
 
+  test("in-memory trainer == reference at deep merge counts (300), " +
+    "including early stop") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val wc = docs.select("text").as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = 300
+    val (merges, vocab) = Bpe.trainInMemory(wc.toSeq.sortBy(_._1), n)
+    val (refMerges, refVocab) = refTrain(wc, n)
+    assert(merges == refMerges,
+      s"deep merge sequences diverge at ${merges.zip(refMerges).indexWhere(p => p._1 != p._2)}")
+    val got = vocab.map { case (w, _, s) => w -> s }.toMap
+    assert(got == refVocab)
+  }
+
+  test("1000-merge train costs < 2x the 20-merge train (driver loop, " +
+    "no per-merge Spark jobs)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def timeTrain(n: Int): Double = {
+      val t0 = System.nanoTime()
+      val (m, vocab) = Bpe.train(docs, n)
+      vocab.write.format("noop").mode("overwrite").save()
+      assert(m.nonEmpty)
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeTrain(20) // JIT/plan warmup, uncounted
+    val t20 = (1 to 2).map(_ => timeTrain(20)).min
+    val t1000 = (1 to 2).map(_ => timeTrain(1000)).min
+    assert(t1000 < 2 * t20 + 1.0,
+      f"1000 merges took $t1000%.2f s vs $t20%.2f s for 20 — the merge " +
+        "loop is no longer amortized (per-merge Spark jobs reintroduced?)")
+  }
+
   private implicit class Tup3Map(rows: Array[(Long, Int, Int)]) {
     def toMap2: Map[Long, (Int, Int)] =
       rows.map { case (a, b, c) => a -> (b, c) }.toMap

@@ -166,6 +166,19 @@ object SparkEntry {
       Drift.rulePsiSplit(
         Validate.violations(DocGen.docs(s, d), DocGen.mediaCatalogMap(s, d)),
         element_at(split(col("doc_id"), "-"), 1).cast("bigint") % 2 === 1)),
+    // the nightly monitoring composition: two runs' per-rule counts
+    // PERSISTED to the metrics store partitioned by run_id (even docs =
+    // base snapshot, odd = current), then rule PSI computed from the two
+    // stored <=|rules|-row tables alone — neither corpus touched again
+    "drift_stored_runs" -> ((s, d) => {
+      val docs = DocGen.docs(s, d)
+      val cat = DocGen.mediaCatalogMap(s, d)
+      val out = artifactPath("runmetrics", d)
+      val parity = element_at(split(col("doc_id"), "-"), 1).cast("bigint") % 2
+      Checkpoint.storeRunRuleMetrics(docs.where(parity === 0), cat, out, "base")
+      Checkpoint.storeRunRuleMetrics(docs.where(parity === 1), cat, out, "cur")
+      Checkpoint.rulePsiBetweenStoredRuns(s, out, "base", "cur")
+    }),
     // batch gap-sessionization (12h gap), semantics identical to the
     // streaming flatMapGroupsWithState path (cross-checked in SessionizeSpec)
     "sessionize_batch" -> ((s, d) =>
@@ -260,6 +273,13 @@ object SparkEntry {
       ops.Dedup.spanDedup(
         ops.Dedup.corpusWithSharedPassages(
           graft.data.Tables.read(s, d, "documents")))),
+    // the production shuffle variant: doc-frequency and semi-join keys are
+    // xxhash64(window) longs instead of window strings (4-8x narrower
+    // shuffle); output identical on collision-free inputs -> same oracle
+    "dedup_spans_hashed" -> ((s, d) =>
+      ops.Dedup.spanDedup(
+        ops.Dedup.corpusWithSharedPassages(
+          graft.data.Tables.read(s, d, "documents")), hashKeys = true)),
     // incremental near-dup: persist the corpus band index once, then dedupe
     // a new crawl batch against it (new-vs-corpus + new-vs-new) without
     // re-minhashing the corpus — the nightly-ingest production path
@@ -303,6 +323,16 @@ object SparkEntry {
       val path = artifactPath("ivf_sq8", d)
       ops.Similarity.ivfSq8BuildIndex(emb, path)
       ops.Similarity.ivfSq8ProbeIndex(s, path, emb)
+    }),
+    // IVF-PQ (Jegou et al. 2011): coarse cells of m=8 product-quantizer
+    // codes (ksub=16 deterministic seed codebooks, dim/m x smaller at rest
+    // than SQ8), probed via per-query ADC lookup tables over the
+    // partition-pruned cells — deterministic end-to-end -> exact oracle
+    "sim_ann_ivf_pq" -> ((s, d) => {
+      val emb = graft.data.Tables.read(s, d, "embeddings")
+      val path = artifactPath("ivf_pq", d)
+      ops.Similarity.ivfPqBuildIndex(emb, path)
+      ops.Similarity.ivfPqProbeIndex(s, path, emb)
     }),
     // (5, 12) pinned: sandbox-validated exactness-gate parameters (the
     // oracle is exhaustive all-pairs, so a single candidate miss fails the
@@ -555,17 +585,11 @@ object SparkEntry {
       // rule-level drift: regroup the SAME expected-violations derivation
       // into per-rule counts split by orderkey parity, then the PSI formula
       // (Laplace +0.5 per category) — independent of the Spark plan
-      "drift_rule_psi" ->
-        s"""WITH v AS ($violationsOracle),
-           |c AS (SELECT rule_id,
-           |        sum(CASE WHEN CAST(string_split(doc_id,'-')[1] AS BIGINT)%2=0 THEN 1 ELSE 0 END) AS ca,
-           |        sum(CASE WHEN CAST(string_split(doc_id,'-')[1] AS BIGINT)%2=1 THEN 1 ELSE 0 END) AS cb
-           |      FROM v GROUP BY 1),
-           |t AS (SELECT ca, cb, count(*) OVER () AS nrules,
-           |             sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM c)
-           |SELECT 'rule_psi' AS metric, round(sum((pa-pb)*ln(pa/pb)), 6) AS value
-           |FROM (SELECT (ca+0.5)/(na+nrules*0.5) AS pa,
-           |             (cb+0.5)/(nb+nrules*0.5) AS pb FROM t) x""".stripMargin,
+      "drift_rule_psi" -> rulePsiParityOracle,
+      // the stored-runs composition persists (even -> base, odd -> cur)
+      // per-rule counts and recombines them; the expected PSI is the SAME
+      // parity-split recomputation
+      "drift_stored_runs" -> rulePsiParityOracle,
       // batch sessionization: same lag/boundary/cumulative-count derivation
       // over epoch-microseconds (12h gap)
       "sessionize_batch" ->
@@ -1058,48 +1082,10 @@ object SparkEntry {
       // an INDEPENDENT span derivation — classic SQL gaps-and-islands
       // (c - row_number() island keys) where the Spark side folds arrays
       // row-locally; agreement across the two methods is the point
-      "dedup_spans" ->
-        """WITH corpus AS (
-          |  SELECT doc_id, concat_ws(' ',
-          |    CASE WHEN doc_id % 13 = 0 THEN
-          |      'the quick brown fox jumps over the lazy dog again and again' END,
-          |    text,
-          |    CASE WHEN doc_id % 17 = 0 THEN
-          |      'all rights reserved unauthorized reproduction of this text is strictly prohibited' END)
-          |    AS text
-          |  FROM documents),
-          |tok AS (SELECT doc_id,
-          |          list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
-          |        FROM corpus),
-          |w2 AS (SELECT doc_id, p, array_to_string(t[p:p+7], ' ') AS w
-          |       FROM (SELECT doc_id, t,
-          |               unnest(generate_series(1, len(t) - 7)) AS p
-          |             FROM tok WHERE len(t) >= 8)),
-          |hv AS (SELECT w FROM (SELECT DISTINCT doc_id, w FROM w2)
-          |       GROUP BY w HAVING count(*) >= 2),
-          |cvd AS (SELECT DISTINCT doc_id, c FROM
-          |         (SELECT doc_id, unnest(generate_series(p, p + 7)) AS c
-          |          FROM w2 JOIN hv USING (w))),
-          |isl AS (SELECT doc_id, c,
-          |          c - row_number() OVER (PARTITION BY doc_id ORDER BY c) AS g
-          |        FROM cvd),
-          |sp AS (SELECT doc_id, min(c) AS s, max(c) AS e
-          |       FROM isl GROUP BY doc_id, g),
-          |ag AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
-          |         string_agg(s || '-' || e, ';' ORDER BY s) AS spans
-          |       FROM sp GROUP BY doc_id),
-          |cl AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_tokens,
-          |         list(c) AS cs
-          |       FROM cvd GROUP BY doc_id)
-          |SELECT tok.doc_id, CAST(len(t) AS INT) AS n_tokens,
-          |  coalesce(ag.n_dup_spans, 0) AS n_dup_spans,
-          |  coalesce(cl.n_dup_tokens, 0) AS n_dup_tokens,
-          |  coalesce(ag.spans, '') AS spans,
-          |  coalesce(array_to_string(list_transform(
-          |    list_filter(generate_series(1, len(t)),
-          |      i -> cl.cs IS NULL OR NOT list_contains(cl.cs, i)),
-          |    i -> t[i]), ' '), '') AS text_clean
-          |FROM tok LEFT JOIN ag USING (doc_id) LEFT JOIN cl USING (doc_id)""".stripMargin,
+      "dedup_spans" -> spanDedupOracle,
+      // identical output contract for the hashed-shuffle variant (the
+      // window key TYPE is internal to the plan)
+      "dedup_spans_hashed" -> spanDedupOracle,
       // oracle: exhaustive exact jaccard over (corpus UNION batch),
       // restricted to pairs with >= 1 batch member — with doc_id_a <
       // doc_id_b and all batch ids >= 1e6 > every corpus id, that is
@@ -1233,6 +1219,61 @@ object SparkEntry {
           |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
           |                ORDER BY score DESC, n_vec_id) AS rank FROM scored)
           |SELECT q_vec_id, CAST(rank AS INT) AS rank, n_vec_id, round(score, 6) AS score_r
+          |FROM r WHERE rank <= 5""".stripMargin,
+      // oracle: the IVF assignment pipeline composed with an independent
+      // PQ recomputation — codebooks are the sub-vectors of vec_ids 8..23,
+      // codes are relational L2 argmins (row_number over (dist, c)), the
+      // reconstruction is joined back from the codebook, and the ADC score
+      // mirrors the engine's grouping exactly: sequential fold of
+      // per-subspace sequential partial dots (init 0.0 at both levels)
+      "sim_ann_ivf_pq" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |en AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM e),
+          |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM en
+          |          WHERE vec_id >= 8 AND vec_id < 24),
+          |cbv AS (SELECT CAST(vec_id - 8 AS INT) AS c, v FROM e
+          |        WHERE vec_id >= 8 AND vec_id < 24),
+          |ac AS (SELECT p.vec_id, p.v, p.nrm, c.cell_id,
+          |              list_dot_product(p.v, c.cv)/(p.nrm*c.cn) AS cscore
+          |       FROM en p CROSS JOIN cents c),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          |                     ORDER BY cscore DESC, cell_id) AS crank FROM ac),
+          |q AS (SELECT vec_id AS q_vec_id, v AS qv, nrm AS qn, cell_id
+          |      FROM ranked WHERE vec_id < 8 AND crank <= 4),
+          |cand0 AS (SELECT vec_id, v, cell_id FROM ranked
+          |          WHERE vec_id >= 8 AND crank = 1),
+          |dists AS (SELECT cand0.vec_id, cand0.cell_id, g.j, cbv.c,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(generate_series(1, 8), i ->
+          |        (cand0.v[g.j*8+i] - cbv.v[g.j*8+i])
+          |          * (cand0.v[g.j*8+i] - cbv.v[g.j*8+i]))),
+          |      (s, x) -> s + x) AS dist
+          |  FROM cand0 CROSS JOIN range(0, 8) AS g(j) CROSS JOIN cbv),
+          |best AS (SELECT vec_id, cell_id, j, c FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+          |                                 ORDER BY dist, c) AS rn
+          |    FROM dists) WHERE rn = 1),
+          |rec0 AS (SELECT b.vec_id, b.cell_id, b.j,
+          |           list_transform(generate_series(1, 8),
+          |             i -> cbv.v[b.j*8+i]) AS sub
+          |         FROM best b JOIN cbv ON cbv.c = b.c),
+          |rec AS (SELECT vec_id, cell_id, flatten(list(sub ORDER BY j)) AS rv
+          |        FROM rec0 GROUP BY 1, 2),
+          |rn_ AS (SELECT vec_id, cell_id, rv,
+          |          sqrt(list_dot_product(rv, rv)) AS rnn FROM rec),
+          |scored AS (SELECT q.q_vec_id, r.vec_id AS n_vec_id,
+          |    max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(range(0, 8), j ->
+          |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |          list_transform(generate_series(1, 8),
+          |            i -> q.qv[j*8+i] * r.rv[j*8+i])),
+          |          (s, x) -> s + x))),
+          |      (s, x) -> s + x) / (q.qn * r.rnn)) AS score
+          |  FROM rn_ r JOIN q USING (cell_id) GROUP BY 1, 2),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+          |                ORDER BY score DESC, n_vec_id) AS rank FROM scored)
+          |SELECT q_vec_id, CAST(rank AS INT) AS rank, n_vec_id,
+          |       round(score, 6) AS score_r
           |FROM r WHERE rank <= 5""".stripMargin,
       // oracle: identical SQ8 train/encode/dequantize/score arithmetic —
       // exact min/max, (mx-mn)/255 scales, half-up rounding on non-negative
@@ -1730,6 +1771,68 @@ object SparkEntry {
         |  UNION
         |  SELECT re.doc_id, e.b FROM reach re JOIN e ON re.r = e.a)
         |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin)
+
+  /** Gaps-and-islands span-dedup oracle (shared by the string-keyed
+    * query and its hashed-shuffle twin, whose outputs are identical). */
+  private val spanDedupOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, concat_ws(' ',
+      |    CASE WHEN doc_id % 13 = 0 THEN
+      |      'the quick brown fox jumps over the lazy dog again and again' END,
+      |    text,
+      |    CASE WHEN doc_id % 17 = 0 THEN
+      |      'all rights reserved unauthorized reproduction of this text is strictly prohibited' END)
+      |    AS text
+      |  FROM documents),
+      |tok AS (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+      |        FROM corpus),
+      |w2 AS (SELECT doc_id, p, array_to_string(t[p:p+7], ' ') AS w
+      |       FROM (SELECT doc_id, t,
+      |               unnest(generate_series(1, len(t) - 7)) AS p
+      |             FROM tok WHERE len(t) >= 8)),
+      |hv AS (SELECT w FROM (SELECT DISTINCT doc_id, w FROM w2)
+      |       GROUP BY w HAVING count(*) >= 2),
+      |cvd AS (SELECT DISTINCT doc_id, c FROM
+      |         (SELECT doc_id, unnest(generate_series(p, p + 7)) AS c
+      |          FROM w2 JOIN hv USING (w))),
+      |isl AS (SELECT doc_id, c,
+      |          c - row_number() OVER (PARTITION BY doc_id ORDER BY c) AS g
+      |        FROM cvd),
+      |sp AS (SELECT doc_id, min(c) AS s, max(c) AS e
+      |       FROM isl GROUP BY doc_id, g),
+      |ag AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+      |         string_agg(s || '-' || e, ';' ORDER BY s) AS spans
+      |       FROM sp GROUP BY doc_id),
+      |cl AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_tokens,
+      |         list(c) AS cs
+      |       FROM cvd GROUP BY doc_id)
+      |SELECT tok.doc_id, CAST(len(t) AS INT) AS n_tokens,
+      |  coalesce(ag.n_dup_spans, 0) AS n_dup_spans,
+      |  coalesce(cl.n_dup_tokens, 0) AS n_dup_tokens,
+      |  coalesce(ag.spans, '') AS spans,
+      |  coalesce(array_to_string(list_transform(
+      |    list_filter(generate_series(1, len(t)),
+      |      i -> cl.cs IS NULL OR NOT list_contains(cl.cs, i)),
+      |    i -> t[i]), ' '), '') AS text_clean
+      |FROM tok LEFT JOIN ag USING (doc_id) LEFT JOIN cl USING (doc_id)""".stripMargin
+
+  /** Rule-level PSI over orderkey-parity halves: regroup the expected-
+    * violations derivation into per-rule counts split by parity, then the
+    * PSI formula (Laplace +0.5 per category) — shared by the one-pass
+    * split query and the stored-runs composition, which persists each
+    * half's counts and recombines them (same expected value). */
+  private val rulePsiParityOracle: String =
+    s"""WITH v AS ($violationsOracle),
+       |c AS (SELECT rule_id,
+       |        sum(CASE WHEN CAST(string_split(doc_id,'-')[1] AS BIGINT)%2=0 THEN 1 ELSE 0 END) AS ca,
+       |        sum(CASE WHEN CAST(string_split(doc_id,'-')[1] AS BIGINT)%2=1 THEN 1 ELSE 0 END) AS cb
+       |      FROM v GROUP BY 1),
+       |t AS (SELECT ca, cb, count(*) OVER () AS nrules,
+       |             sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM c)
+       |SELECT 'rule_psi' AS metric, round(sum((pa-pb)*ln(pa/pb)), 6) AS value
+       |FROM (SELECT (ca+0.5)/(na+nrules*0.5) AS pa,
+       |             (cb+0.5)/(nb+nrules*0.5) AS pb FROM t) x""".stripMargin
 
   private val ivfOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -158,6 +158,36 @@ object Checkpoint {
     bucket.fold(df)(b => df.where(col("bucket") === b))
   }
 
+  // ---- cross-run rule-drift over the persisted metrics store ---------------
+
+  def runMetricsPath(outDir: String) = s"$outDir/run_metrics"
+
+  /** Persist ONE run's per-rule violation counts to the metrics store,
+    * partitioned by run_id — the nightly-run companion of the per-bucket
+    * rule_metrics [[run]] writes. One map-side-combined aggregate to a
+    * <=|rules|-row table; idempotent per run (re-running a run_id replaces
+    * exactly its partition directory). */
+  def storeRunRuleMetrics(docs: DataFrame, catalog: Map[String, String],
+                          outDir: String, runId: String): Unit =
+    TableIO.write(
+      Validate.violations(docs, catalog)
+        .groupBy("rule_id").agg(count(lit(1)).as("count")),
+      s"${runMetricsPath(outDir)}/run_id=$runId")
+
+  /** The monitoring query an operator runs nightly: rule-level PSI between
+    * two STORED runs' metrics — which constraints fire differently between
+    * yesterday's snapshot and today's, answered from the persisted
+    * <=|rules|-row metrics tables without touching either corpus again.
+    * run_id is a partition directory, so each side's read prunes to its own
+    * partition (PartitionFilters); the PSI arithmetic is Drift.rulePsi's. */
+  def rulePsiBetweenStoredRuns(spark: SparkSession, outDir: String,
+                               baseRun: String, curRun: String): DataFrame = {
+    val m = TableIO.read(spark, runMetricsPath(outDir))
+    Drift.rulePsi(
+      m.where(col("run_id") === baseRun).select("rule_id", "count"),
+      m.where(col("run_id") === curRun).select("rule_id", "count"))
+  }
+
   // ---- partition-watermark incremental validation --------------------------
 
   def watermarkPath(outDir: String) = s"$outDir/watermark"

@@ -588,17 +588,23 @@ object Dedup {
     * when not — never forced), aggregates duplicated starts per doc
     * (buffer bounded by a single doc's window count), and joins back to
     * the corpus on doc_id — ONE keyed shuffle — where span merging, span
-    * counting, and text cleaning are all row-local array folds. Grouping
-    * keys are the window STRINGS for oracle parity (same convention as
-    * [[lineDedup]]); the production variant narrows the shuffle 4-8x by
-    * keying on xxhash64(window) — mechanical, collision odds ~1e-8 at
-    * 10^12 windows.
+    * counting, and text cleaning are all row-local array folds.
+    *
+    * `hashKeys = true` is the PRODUCTION shuffle: the document-frequency
+    * aggregate and the semi-join key on xxhash64(window) (8 bytes) instead
+    * of the k-token window STRING (~50-100 bytes at k=8) — a 4-8x narrower
+    * shuffle and heavy-set, at collision odds ~1e-8 across 10^12 distinct
+    * windows (a colliding pair of windows would at worst over-mark k token
+    * positions). Both paths emit identical output on collision-free inputs
+    * (spec-asserted); the string path stays the oracle twin, same
+    * convention as [[lineDedup]].
     *
     * Output per doc (all docs, including untouched ones): n_tokens,
     * n_dup_spans, n_dup_tokens, spans "s-e;s-e" (1-based inclusive),
     * text_clean with duplicated positions removed. Integer/string-valued
     * throughout -> hash-exact against a gaps-and-islands SQL oracle. */
-  def spanDedup(corpus: DataFrame, k: Int = 8, minDocFreq: Int = 2): DataFrame = {
+  def spanDedup(corpus: DataFrame, k: Int = 8, minDocFreq: Int = 2,
+                hashKeys: Boolean = false): DataFrame = {
     // struct(p, w) windows, 1-based start positions; [] for short docs
     def windows(t: Column): Column =
       when(size(t) >= k,
@@ -606,11 +612,15 @@ object Dedup {
           struct(i.as("p"), concat_ws(" ", slice(t, i, lit(k))).as("w"))))
         .otherwise(array().cast("array<struct<p:int,w:string>>"))
 
-    val win = corpus
+    val winStr = corpus
       .select(col("doc_id"), windows(tokens(col("text"))).as("ws"))
       .select(col("doc_id"), explode_outer(col("ws")).as("win"))
       .where(col("win").isNotNull)
       .select(col("doc_id"), col("win.p").as("p"), col("win.w").as("w"))
+    // hashed shuffle key: everything downstream is agnostic to w's type
+    val win =
+      if (hashKeys) winStr.select(col("doc_id"), col("p"), xxhash64(col("w")).as("w"))
+      else winStr
     val heavy = win
       .select(col("doc_id"), col("w")).distinct()
       .groupBy("w").agg(count(lit(1)).as("df"))

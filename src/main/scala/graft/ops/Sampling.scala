@@ -184,14 +184,28 @@ object Sampling {
     * scale a 10^4-task x 10^3-shard write is 10^7 files). After the keyed
     * repartition each task holds whole shards, so the file count is
     * bounded by nShards (+hash-collision doubling), independent of read
-    * parallelism. */
+    * parallelism.
+    *
+    * ONE input scan: the manifest is derived from the WRITTEN shard table
+    * (the sink's read-back is compact, column-pruned to (shard, doc_id,
+    * text), and exactly what the manifest must describe — auditing the
+    * bytes on disk, not the plan that produced them), instead of
+    * re-executing the upstream pipeline a second time. ShardSinkSpec
+    * asserts the returned manifest's plan scans the shard path, not the
+    * input, and that it equals [[shardManifest]] of the input. */
   def writeShards(corpus: DataFrame, path: String, nShards: Int = 16,
                   salt: String = "shard"): DataFrame = {
     graft.engine.TableIO.overwritePartitions(
       corpus.withColumn("shard", shardOf(col("doc_id"), nShards, salt))
         .repartition(nShards, col("shard")),
       path, Seq("shard"))
-    val manifest = shardManifest(corpus, nShards, salt)
+    val written = graft.engine.TableIO.read(corpus.sparkSession, path)
+    val manifest = written
+      .select(col("shard").cast("int").as("shard"), col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
     graft.engine.TableIO.write(manifest, s"${path}_manifest")
     manifest
   }

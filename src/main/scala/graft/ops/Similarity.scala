@@ -184,12 +184,11 @@ object Similarity {
     rerank(c, q, k)
   }
 
-  /** Shared exact re-rank: dedupe multi-probe hits by max score, then the
-    * mergeable top-k aggregate (no per-query all-candidates window). */
-  private def rerank(cands: DataFrame, q: DataFrame, k: Int): DataFrame =
-    cands.join(broadcast(q), Seq("cell_id"))
-      .select(col("q_vec_id"), col("vec_id").as("n_vec_id"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("score"))
+  /** Top-k tail shared by every ANN scorer: dedupe multi-probe/multi-table
+    * hits by max score, then the mergeable top-k aggregate (no per-query
+    * all-candidates window). Input: (q_vec_id, n_vec_id, score). */
+  private def topKScored(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy(col("q_vec_id"), col("n_vec_id"))
       .agg(max(col("score")).as("score")) // dedupe multi-probe hits
       .groupBy(col("q_vec_id"))
@@ -197,6 +196,13 @@ object Similarity {
       .select(col("q_vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_vec_id"), (col("pos") + 1).cast("int").as("rank"),
         col("t.id").as("n_vec_id"), round(col("t.score"), 6).as("score_r"))
+
+  /** Shared exact re-rank over full-precision candidate vectors. */
+  private def rerank(cands: DataFrame, q: DataFrame, k: Int): DataFrame =
+    topKScored(
+      cands.join(broadcast(q), Seq("cell_id"))
+        .select(col("q_vec_id"), col("vec_id").as("n_vec_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("score")), k)
 
   /** Trained coarse quantizer: distributed Lloyd k-means (Spark MLlib —
     * its aggregation is the zero-row-blowup partial-agg shape a 10^12-doc
@@ -289,40 +295,77 @@ object Similarity {
     * nCells vec_ids) so the whole pipeline is oracle-recomputable; swap in
     * [[kmeansCentroids]] at scale, with nCells sized so corpus/nCells stays
     * under the membership cap (the paper runs k ~ sqrt(n); a 10^12-doc
-    * corpus at k = 10^7 keeps cells at ~10^5 — pair work per cell is then
-    * density^2, so raise k or sub-bucket hot cells via LSH inside the cell
-    * before lowering the cap). */
+    * corpus at k = 10^7 keeps cells at ~10^5).
+    *
+    * HOT-CELL DEGRADATION: a skewed quantizer can put more than memberCap
+    * members in one cell; instead of truncating pairs silently (or
+    * aborting), over-cap cells fall back to random-hyperplane LSH
+    * sub-buckets INSIDE the cell (same kernel as cosineNearDupPairs):
+    * candidate recall on those cells becomes the standard
+    * 1-(1-p^subBits)^subTables amplification instead of 1, and every
+    * emitted pair is still exact-cosine verified. subBits is derived from
+    * the LARGEST over-cap cell (lshParams' density rule: 2^subBits sized so
+    * expected sub-bucket membership ~memberCap/2 — the collector cap then
+    * never truncates), or pinned via the parameter. Cell sizes come from a
+    * <=nCells-row census (driver-safe to inspect, broadcast to route each
+    * cell down exactly one branch); when no cell exceeds the cap the
+    * degraded branch is dropped from the plan entirely. The narrow
+    * (vec_id, v, cell_id) assignment is persisted — it feeds the census
+    * and both branches, and re-executing the assignment crossJoin per
+    * consumer would triple the corpus scans (the Stats.outliers
+    * convention; at production scale the assignment is written via
+    * TableIO as the index artifact instead). */
   def semanticDedupPairs(corpus: DataFrame, threshold: Double = 0.9,
-                         nCells: Int = 16, memberCap: Int = 1000): DataFrame = {
+                         nCells: Int = 16, memberCap: Int = 1000,
+                         subBits: Int = -1, subTables: Int = 12): DataFrame = {
     val e = corpus.select(col("vec_id"), col("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val centroids = e.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cn"))
     // every vector (centroid seeds included) assigned to its 1 nearest cell
     val assigned = nearestCells(e, centroids, "vec_id", 1)
-    val candidates = assigned
-      .groupBy(col("cell_id"))
-      .agg(graft.functions.BoundedCollect.longs(memberCap)(col("vec_id"))
-        .as("ids"))
-      // LOUD on cap: unlike the LSH paths (whose lshParams size buckets so
-      // the cap never truncates), nCells is a fixed parameter here — a cell
-      // that FILLS the membership buffer means silently lost pairs vs the
-      // exhaustive within-cell contract, so fail with instructions instead.
-      // assert_true lives in a Filter (coalesce(null-on-success, true)), so
-      // column pruning cannot drop it.
-      .where(coalesce(
-        assert_true(size(col("ids")) < memberCap,
-          lit(s"semanticDedupPairs: a cell filled the $memberCap-member " +
-            "buffer — raise nCells (or sub-bucket hot cells) so cell " +
-            "density stays below the cap")),
-        lit(true)))
+      .select(col("vec_id"), col("v"), col("cell_id")).persist()
+    val sizes = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+    def pairsOf(grouped: DataFrame): DataFrame = grouped
       .where(size(col("ids")) > 1)
       .select(col("cell_id"),
         explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))
       .where(col("p").isNotNull)
       .select(col("cell_id"), col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"))
-    // single assignment per vector -> a pair occurs in at most one cell, so
-    // no distinct() is needed before the verify
+    // exhaustive branch: cells under the cap (the SemDeDup contract)
+    val smallPairs = pairsOf(
+      assigned
+        .join(broadcast(sizes.where(col("n") <= memberCap)), Seq("cell_id"))
+        .groupBy(col("cell_id"))
+        .agg(graft.functions.BoundedCollect.longs(memberCap)(col("vec_id"))
+          .as("ids")))
+    // degraded branch: over-cap cells sub-bucketed by multi-table LSH;
+    // multi-table hits deduped before the verify. The census row count is
+    // <=nCells (driver-scale), so inspecting the max over-cap size to size
+    // the sub-bucket tables is an O(nCells) action, not a corpus pass.
+    val maxBig = sizes.where(col("n") > memberCap)
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    val candidates = if (maxBig == 0L) smallPairs else {
+      val bits =
+        if (subBits > 0) subBits
+        else math.max(1, math.min(30,
+          math.ceil(math.log(maxBig * 2.0 / memberCap) / math.log(2)).toInt))
+      val bigPairs = pairsOf(
+        assigned
+          .join(broadcast(sizes.where(col("n") > memberCap)), Seq("cell_id"))
+          .select(col("cell_id"), col("vec_id"),
+            posexplode_outer(
+              graft.functions.LshBuckets(col("v"), bits, subTables))
+              .as(Seq("table", "bucket")))
+          .where(col("bucket").isNotNull)
+          .groupBy(col("cell_id"), col("table"), col("bucket"))
+          .agg(graft.functions.BoundedCollect.longs(memberCap)(col("vec_id"))
+            .as("ids"))).distinct()
+      smallPairs.unionAll(bigPairs)
+    }
+    // single assignment per vector -> a pair occurs in at most one cell and
+    // exactly one branch (a cell is small xor big; bigPairs deduped), so no
+    // cross-branch distinct() is needed before the verify
     val m = candidates.select(
       col("cell_id"), col("vec_id_a"), col("vec_id_b"),
       explode(array(col("vec_id_a"), col("vec_id_b"))).as("vec_id"))
@@ -454,6 +497,145 @@ object Similarity {
       .select(col("cell_id"), col("vec_id"), sq8Dequant(mns, scales).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     rerank(index, q, k)
+  }
+
+  // ---- IVF-PQ: product-quantized inverted lists ---------------------------
+
+  /** Deterministic PQ codebooks: for each of the `m` subspaces, the `ksub`
+    * codebook entries are the corresponding sub-vectors of the first ksub
+    * candidate vectors (vec_id in [nQueries, nQueries+ksub) — same seeding
+    * convention as seedCentroids; in production each subspace runs its own
+    * k-means, exactly as the coarse quantizer swaps seedCentroids for
+    * kmeansCentroids). Collected driver-side: O(ksub x dim) doubles — an
+    * index header, independent of corpus size. Returned flat with layout
+    * cb[(j*ksub + c)*dsub + i] = component i of entry c in subspace j. */
+  private def pqCodebookFlat(e: DataFrame, nQueries: Int,
+                             m: Int, ksub: Int): Seq[Double] = {
+    val seedVecs = e
+      .where(col("vec_id") >= nQueries && col("vec_id") < nQueries + ksub)
+      .orderBy("vec_id").select("v")
+      .collect().map(_.getSeq[Double](0))
+    require(seedVecs.length == ksub,
+      s"pq codebook needs $ksub seed vectors, found ${seedVecs.length}")
+    val dim = seedVecs.head.size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    for (j <- 0 until m; c <- 0 until ksub; i <- 0 until dsub)
+      yield seedVecs(c)(j * dsub + i)
+  }
+
+  /** PQ encode: per subspace j, the code is the L2-argmin codebook entry
+    * (strict < keeps the SMALLEST entry id on ties — the oracle's
+    * (dist, c) order). Row-local O(dim x ksub) arithmetic — exactly the
+    * flops PQ encoding costs anywhere; the struct-state fold keeps it one
+    * pass per entry. */
+  private def pqEncode(cb: Column, m: Int, ksub: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      aggregate(
+        sequence(lit(0), lit(ksub - 1)),
+        struct(lit(-1).cast("int").as("c"),
+          lit(Double.PositiveInfinity).as("d")),
+        (acc, c) => {
+          val dist = aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0),
+            (s, i) => {
+              val x = element_at(col("v"), j * dsub + i + 1)
+              val y = element_at(cb, (j * ksub + c) * dsub + i + 1)
+              s + (x - y) * (x - y)
+            })
+          when(dist < acc.getField("d"),
+            struct(c.cast("int").as("c"), dist.as("d"))).otherwise(acc)
+        },
+        acc => acc.getField("c")))
+
+  /** Reconstruct the quantized vector from its codes (codebook slices in
+    * subspace order) — used once at build time for the stored norm. */
+  private def pqRecon(codes: Column, cb: Column,
+                      m: Int, ksub: Int, dsub: Int): Column =
+    flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+      slice(cb, (j * ksub + element_at(codes, j + 1)) * dsub + 1, lit(dsub))))
+
+  /** IVF-PQ index build — the index shape actually deployed at 10^12
+    * vectors (Jegou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): coarse IVF cells of PQ codes. Each candidate
+    * stores m small codes (m bytes at ksub<=256: dim/m x compression over
+    * SQ8's dim bytes — 64 dims at m=8 is 8x smaller than SQ8, 32x smaller
+    * than float32) plus its reconstruction norm; the codebooks are an
+    * O(ksub x dim) sidecar header. Deterministic end-to-end (seed
+    * codebooks, sequential-fold distances, smallest-id tie-breaks) → exact
+    * DuckDB oracle; recall vs full-precision IVF is spec-asserted (m=8
+    * doubles it over m=4 on the sandbox corpus at the same byte budget —
+    * finer subspaces beat more entries for untrained seed codebooks). */
+  def ivfPqBuildIndex(emb: DataFrame, path: String,
+                      nQueries: Int = 8, nCells: Int = 16,
+                      m: Int = 8, ksub: Int = 16): Unit = {
+    val e = prepared(emb)
+    val centroids = seedCentroids(e, nQueries, nCells)
+    val cands = e.where(col("vec_id") >= nQueries)
+    val cbFlat = pqCodebookFlat(e, nQueries, m, ksub)
+    val dsub = cbFlat.size / (m * ksub)
+    val cb = typedLit(cbFlat)
+    val assigned = nearestCells(cands, centroids, "vec_id", 1)
+    assigned
+      .select(col("vec_id"), col("cell_id"),
+        pqEncode(cb, m, ksub, dsub).as("codes"))
+      .withColumn("rn",
+        sqrt(dot(pqRecon(col("codes"), cb, m, ksub, dsub),
+          pqRecon(col("codes"), cb, m, ksub, dsub))))
+      // one file per cell partition (see ivfBuildIndex)
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    // sidecar codebook header (m x ksub x dsub rows — O(ksub x dim))
+    val spark = emb.sparkSession
+    graft.engine.TableIO.write(
+      spark.range(1).select(posexplode(cb).as(Seq("t", "x"))),
+      s"${path}_codebook")
+  }
+
+  /** IVF-PQ probe with ADC (asymmetric distance computation): each query
+    * precomputes its m x ksub lookup table of subspace partial dots ONCE
+    * (O(dim x ksub) per query, amortized over every candidate), then a
+    * candidate scores in O(m) table lookups — never a per-pair O(dim) dot.
+    * dot(q, recon(codes)) == sum_j lut[j][codes_j] exactly (same additions
+    * in the same order), so ADC is the algebraic identity of
+    * reconstruct-then-dot, not an approximation on top of PQ. Cell pruning
+    * is static partition pruning, as in ivfProbeIndex. */
+  def ivfPqProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                      nCells: Int = 16, nProbe: Int = 4,
+                      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val e = prepared(emb)
+    val centroids = seedCentroids(e, nQueries, nCells)
+    // O(ksub x dim) header read — never a corpus pass
+    val cbFlat = graft.engine.TableIO.read(spark, s"${path}_codebook")
+      .orderBy("t").collect().map(_.getDouble(1)).toSeq
+    require(cbFlat.size % (m * ksub) == 0,
+      s"codebook header size ${cbFlat.size} not divisible by m*ksub=${m * ksub}")
+    val dsub = cbFlat.size / (m * ksub)
+    val cb = typedLit(cbFlat)
+    // lut[j*ksub + c] = <q's subspace-j slice, codebook entry (j, c)>
+    val qlut = flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(ksub - 1)), c =>
+        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (s, i) =>
+          s + element_at(col("qv"), j * dsub + i + 1) *
+            element_at(cb, (j * ksub + c) * dsub + i + 1)))))
+    val q = nearestCells(
+      e.where(col("vec_id") < nQueries), centroids, "vec_id", nProbe)
+      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("cell_id"))
+      .withColumn("qlut", qlut)
+      .drop("qv") // the broadcast ships luts, not raw query vectors
+    val probedCells = q.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val index = spark.read.parquet(path)
+      .where(col("cell_id").isin(probedCells: _*))
+      .select(col("cell_id"), col("vec_id"), col("codes"), col("rn"))
+    topKScored(
+      index.join(broadcast(q), Seq("cell_id"))
+        .select(col("q_vec_id"), col("vec_id").as("n_vec_id"),
+          (aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (s, j) =>
+            s + element_at(col("qlut"),
+              j * ksub + element_at(col("codes"), j + 1) + 1)) /
+            (col("qn") * col("rn"))).as("score")), k)
   }
 
   /** Declarative random-hyperplane signature (shape reference for the

@@ -7,6 +7,26 @@ import graft.engine.{Checkpoint, Validate}
 
 class CheckpointSpec extends SparkSpec {
 
+  test("cross-run rule PSI from the stored metrics equals the one-pass split") {
+    val dir = Files.createTempDirectory("graft-runpsi").toString
+    val docs = DocGen.docs(spark, sf)
+    val cat = DocGen.mediaCatalogMap(spark, sf)
+    val parity = element_at(split(col("doc_id"), "-"), 1).cast("bigint") % 2
+    Checkpoint.storeRunRuleMetrics(docs.where(parity === 0), cat, dir, "base")
+    Checkpoint.storeRunRuleMetrics(docs.where(parity === 1), cat, dir, "cur")
+    val stored = Checkpoint.rulePsiBetweenStoredRuns(spark, dir, "base", "cur")
+    val onePass = graft.engine.Drift.rulePsiSplit(
+      Validate.violations(docs, cat), parity === 1)
+    assert(stored.collect().toSeq == onePass.collect().toSeq,
+      "stored-run PSI must equal the one-pass parity split")
+    // run_id is a partition directory: each side's read prunes to its own
+    // partition instead of scanning the whole metrics store
+    val plan = Checkpoint.rulePsiBetweenStoredRuns(spark, dir, "base", "cur")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*run_id".r.findFirstIn(plan).isDefined,
+      s"metrics read must prune on run_id:\n$plan")
+  }
+
   test("resume after mid-run failure completes and equals a one-shot run") {
     val dir = Files.createTempDirectory("graft-ckpt").toString
     // attempt 1 dies before bucket 5

@@ -180,26 +180,80 @@ class OpsSpec extends SparkSpec {
         s"$name: the hint sits on a subtree without '$boundedMark' — " +
           s"likely the corpus side:\n${hinted.head}")
     }
-    // the nCells-bounded centroid table (vec_id < 16 seed filter)
-    assertOneBoundedHint(Similarity.semanticDedupPairs(
-      Similarity.corpusWithNearDupVecs(embeddings)), "dedup_semantic", "< 16")
+    // semantic dedup on an under-cap corpus: the sub-bucketed branch is
+    // dropped at compose time, so exactly ONE hinted join remains visible —
+    // the <=nCells-row census broadcast routing the exhaustive branch (the
+    // centroid broadcast sits inside the persisted assignment subtree,
+    // which the plan shows as an InMemoryRelation)
+    {
+      val df = Similarity.semanticDedupPairs(
+        Similarity.corpusWithNearDupVecs(embeddings))
+      val plan = df.queryExecution.optimizedPlan
+      val hinted = plan.collect {
+        case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty =>
+          if (j.hint.leftHint.nonEmpty) j.left else j.right
+      }
+      assert(hinted.size === 1,
+        s"dedup_semantic: one visible census hint expected, got ${hinted.size}")
+      assert(hinted.head.toString.toLowerCase.contains("count"),
+        s"dedup_semantic: the hint sits on an unbounded subtree:\n${hinted.head}")
+      assert(plan.toString.contains("InMemoryRelation"),
+        "dedup_semantic: the narrow assignment must be persisted")
+    }
     // the fixed eval-benchmark shingle set (static size estimates under a
     // Generate once chose to build the CORPUS side — pinned explicitly)
     assertOneBoundedHint(Curation.decontaminate(documents,
       documents.where(col("doc_id") % 97 === 0)), "decontaminate", "% 97")
   }
 
-  test("semantic dedup fails loudly when a cell fills the membership cap") {
+  test("semantic dedup degrades over-cap cells to LSH sub-buckets, pairs exact") {
     val corpus = Similarity.corpusWithNearDupVecs(embeddings)
-    val e = intercept[Exception] {
-      // one cell, cap far below the corpus size -> must raise, not
-      // silently drop pairs
-      Similarity.semanticDedupPairs(corpus, nCells = 1, memberCap = 8)
-        .count()
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("raise nCells")), s"got: $e")
+    // one cell, cap far below the corpus size -> the WHOLE corpus routes
+    // down the sub-bucketed branch; subBits derives from the cell size
+    // (density ~cap/2, so the collector never truncates) and amplified
+    // tables keep candidate recall ~1 here
+    val got = Similarity.semanticDedupPairs(
+      corpus, nCells = 1, memberCap = 8, subTables = 24)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    // exhaustive within-cell truth (nCells=1 -> all-pairs), driver-side
+    val vecs = corpus.select("vec_id", "v").as[(Long, Seq[Double])].collect()
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.iterator.zip(b.iterator).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      if dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(got == expected,
+      s"sub-bucketed pairs diverge: missing=${(expected -- got).take(5)} " +
+        s"extra=${(got -- expected).take(5)}")
+    // and under-cap corpora are untouched by the new routing: exhaustive
+    // branch output matches the same truth restricted to shared cells
+    assert(Similarity.semanticDedupPairs(corpus).count() ===
+      Similarity.semanticDedupPairs(corpus, memberCap = 1000000).count())
+  }
+
+  test("similarity: IVF-PQ index — ADC probe, pruning, compression, recall") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/index"
+    Similarity.ivfPqBuildIndex(embeddings, dir)
+    val p1 = Similarity.ivfPqProbeIndex(spark, dir, embeddings)
+    // deterministic across probes of the same persisted index
+    assert(p1.collect().toSet == Similarity.ivfPqProbeIndex(spark, dir, embeddings)
+      .collect().toSet)
+    // static cell pruning on the index read, as with the other IVF probes
+    val plan = p1.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(plan).isDefined,
+      s"PQ index scan must carry a cell_id partition filter:\n$plan")
+    // the stored index is m=8 codes (+1 norm) per vector — dim/m = 8x
+    // fewer stored values than SQ8's per-component codes
+    val idx = spark.read.parquet(dir)
+    assert(idx.select(max(size(col("codes")))).as[Int].head() === 8)
+    // quantized recall vs the full-precision IVF over the same cells stays
+    // useful (seed codebooks, 16 entries/subspace)
+    val ivf = Similarity.ivfTopK(embeddings, k = 5)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val pq = p1.select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & pq).size.toDouble / ivf.size
+    assert(recall >= 0.3, s"IVF-PQ recall vs full-precision IVF: $recall")
   }
 
   test("lshParams: corpus-sized tables, recall-solved table count") {

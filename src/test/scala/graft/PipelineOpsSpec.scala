@@ -207,6 +207,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"spanDedup must stay window-free:\n$plan")
   }
 
+  test("span dedup: hashed shuffle keys emit output identical to string keys") {
+    val corpus = Dedup.corpusWithSharedPassages(documents)
+    val str = Dedup.spanDedup(corpus)
+    val hashed = Dedup.spanDedup(corpus, hashKeys = true)
+    assert(str.exceptAll(hashed).isEmpty && hashed.exceptAll(str).isEmpty,
+      "hashed-key span dedup must be output-identical on collision-free input")
+    // the narrower key actually reaches the plan: the hashed variant's
+    // doc-frequency aggregate groups a LongType xxhash64, not the string
+    val plan = hashed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("xxhash64"),
+      s"hashed variant must key on xxhash64(window):\n$plan")
+  }
+
   test("span dedup flags the injected shared passages across the corpus") {
     val out = Dedup.spanDedup(Dedup.corpusWithSharedPassages(documents)).cache()
     assert(out.count() == documents.count())
@@ -338,6 +351,19 @@ class PipelineOpsSpec extends SparkSpec {
     // deterministic assignment: rewriting yields the identical manifest
     val again = Sampling.writeShards(docs, path, nShards = 8)
     assert(manifest.exceptAll(again).count() == 0)
+    // ONE input scan: the manifest is derived from the WRITTEN shard table
+    // (audit of the bytes on disk), so its plan reads the shard path and
+    // never re-executes the input (asserted on the uncached re-run: the
+    // first manifest was cached above, which hides its scan)
+    val againPlan = again.queryExecution.executedPlan.toString
+    assert(againPlan.contains("shards"),
+      s"manifest must scan the written shard table:\n$againPlan")
+    assert(!againPlan.contains("documents.parquet"),
+      s"manifest must not re-execute the input:\n$againPlan")
+    // and it equals the from-input recomputation (shardManifest)
+    val fromInput = Sampling.shardManifest(docs, nShards = 8)
+    assert(manifest.exceptAll(fromInput).count() == 0
+      && fromInput.exceptAll(manifest).count() == 0)
   }
 
   test("bigram LM stats: familiar, gibberish, and short docs behave") {

@@ -187,3 +187,88 @@ object LshBuckets {
   def apply(v: Column, nBits: Int, nTables: Int): Column =
     GraftBridge.column(LshBuckets(GraftBridge.expression(v), nBits, nTables))
 }
+
+/** Product-quantizer encoder: all m subspace codes of an array<double>
+  * vector in one compiled pass. Code j is the L2-argmin over the ksub
+  * codebook entries of subspace j (strict < keeps the smallest entry id on
+  * ties), with layout cb[(j*ksub + c)*dsub + i] — exactly the arithmetic of
+  * Similarity.pqEncodeDeclarative (equality-asserted in OpsSpec), whose
+  * interpreted form pays ~2 x dim x ksub lambda evaluations per row (the
+  * argmin fold evaluates each candidate distance twice: once for the
+  * comparison, once for the kept struct). This is the corpus-scale hot loop
+  * of the IVF-PQ index build — every vector of a 10^12-row corpus runs it
+  * once.
+  *
+  * The codebook is a Seq (value equality, so Catalyst canonicalization and
+  * subexpression elimination see identical encoders as equal) converted
+  * once per executor to a primitive array. Any null element yields NULL. */
+case class PqEncode(child: Expression, cbFlat: Seq[Double], m: Int, ksub: Int)
+  extends UnaryExpression {
+  require(m > 0 && ksub > 0 && cbFlat.nonEmpty &&
+    cbFlat.size % (m * ksub) == 0, "codebook size must be m*ksub*dsub")
+
+  private val dsub = cbFlat.size / (m * ksub)
+
+  override def dataType: DataType = ArrayType(IntegerType)
+  override def nullable: Boolean = true
+
+  @transient private lazy val cb: Array[Double] = cbFlat.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Compiled body, shared by interpreted eval and generated code (same
+    * single-virtual-call shape as LshBuckets.compute). */
+  def compute(arr: ArrayData): ArrayData = {
+    val dim = arr.numElements()
+    if (dim != m * dsub) return null
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return null
+      v(i) = arr.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0
+        var k = 0
+        val vo = j * dsub
+        val co = (j * ksub + c) * dsub
+        while (k < dsub) {
+          val diff = v(vo + k) - cb(co + k)
+          d += diff * diff
+          k += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = java.lang.Integer.valueOf(best)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("pqEncode", this)
+      s"""
+         |${ev.value} = $self.compute($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+object PqEncode {
+  import org.apache.spark.sql.GraftBridge
+  def apply(v: Column, cbFlat: Seq[Double], m: Int, ksub: Int): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(v), cbFlat, m, ksub))
+}

@@ -524,12 +524,15 @@ object Similarity {
       yield seedVecs(c)(j * dsub + i)
   }
 
-  /** PQ encode: per subspace j, the code is the L2-argmin codebook entry
-    * (strict < keeps the SMALLEST entry id on ties — the oracle's
-    * (dist, c) order). Row-local O(dim x ksub) arithmetic — exactly the
-    * flops PQ encoding costs anywhere; the struct-state fold keeps it one
-    * pass per entry. */
-  private def pqEncode(cb: Column, m: Int, ksub: Int, dsub: Int): Column =
+  /** Declarative PQ-encode twin (shape reference for the compiled
+    * functions.PqEncode, equality-asserted in OpsSpec): per subspace j, the
+    * code is the L2-argmin codebook entry over `col("v")` (strict < keeps
+    * the SMALLEST entry id on ties — the oracle's (dist, c) order).
+    * Row-local O(dim x ksub) arithmetic — exactly the flops PQ encoding
+    * costs anywhere — but the interpreted fold evaluates each candidate
+    * distance twice (comparison + kept struct): ~2 x dim x ksub lambda
+    * calls per row. The index build uses the compiled kernel. */
+  def pqEncodeDeclarative(cb: Column, m: Int, ksub: Int, dsub: Int): Column =
     transform(sequence(lit(0), lit(m - 1)), j =>
       aggregate(
         sequence(lit(0), lit(ksub - 1)),
@@ -577,7 +580,7 @@ object Similarity {
     val assigned = nearestCells(cands, centroids, "vec_id", 1)
     assigned
       .select(col("vec_id"), col("cell_id"),
-        pqEncode(cb, m, ksub, dsub).as("codes"))
+        graft.functions.PqEncode(col("v"), cbFlat, m, ksub).as("codes"))
       .withColumn("rn",
         sqrt(dot(pqRecon(col("codes"), cb, m, ksub, dsub),
           pqRecon(col("codes"), cb, m, ksub, dsub))))

@@ -276,6 +276,24 @@ class OpsSpec extends SparkSpec {
     assert(derived.exists { case (a, bId) => bId == a + 1000000 })
   }
 
+  test("compiled PQ encoder == declarative HOF argmin over the corpus") {
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val (m, ksub) = (8, 16)
+    val seeds = e.where(col("vec_id") >= 8 && col("vec_id") < 24)
+      .orderBy("vec_id").select("v").as[Seq[Double]].collect()
+    val dsub = seeds.head.size / m
+    val cbFlat: Seq[Double] =
+      (for (j <- 0 until m; c <- 0 until ksub; i <- 0 until dsub)
+        yield seeds(c)(j * dsub + i)).toList
+    val both = e.select(
+      graft.functions.PqEncode(col("v"), cbFlat, m, ksub).as("c"),
+      Similarity.pqEncodeDeclarative(typedLit(cbFlat), m, ksub, dsub).as("d"))
+    assert(both.count() > 0)
+    assert(both.where(!(col("c") <=> col("d"))).count() == 0,
+      "compiled PQ codes must equal the declarative argmin bit-for-bit")
+  }
+
   test("compiled dot product == declarative HOF fold (incl. null semantics)") {
     val e = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))

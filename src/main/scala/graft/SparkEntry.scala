@@ -334,6 +334,17 @@ object SparkEntry {
       ops.Similarity.ivfPqBuildIndex(emb, path)
       ops.Similarity.ivfPqProbeIndex(s, path, emb)
     }),
+    // incremental ANN ingest: index built on vec_id < 300, the rest
+    // appended against the index's OWN stored quantizer sidecars (the
+    // corpus is never re-read) — probe result identical to the one-shot
+    // build, so the same oracle applies
+    "sim_ann_ivf_pq_incremental" -> ((s, d) => {
+      val emb = graft.data.Tables.read(s, d, "embeddings")
+      val path = artifactPath("ivf_pq_inc", d)
+      ops.Similarity.ivfPqBuildIndex(emb.where(col("vec_id") < 300), path)
+      ops.Similarity.ivfPqAppendIndex(s, path, emb.where(col("vec_id") >= 300))
+      ops.Similarity.ivfPqProbeIndex(s, path, emb)
+    }),
     // (5, 12) pinned: sandbox-validated exactness-gate parameters (the
     // oracle is exhaustive all-pairs, so a single candidate miss fails the
     // hash gate). Production callers omit them -> Similarity.lshParams
@@ -1226,55 +1237,11 @@ object SparkEntry {
       // reconstruction is joined back from the codebook, and the ADC score
       // mirrors the engine's grouping exactly: sequential fold of
       // per-subspace sequential partial dots (init 0.0 at both levels)
-      "sim_ann_ivf_pq" ->
-        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          |en AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM e),
-          |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM en
-          |          WHERE vec_id >= 8 AND vec_id < 24),
-          |cbv AS (SELECT CAST(vec_id - 8 AS INT) AS c, v FROM e
-          |        WHERE vec_id >= 8 AND vec_id < 24),
-          |ac AS (SELECT p.vec_id, p.v, p.nrm, c.cell_id,
-          |              list_dot_product(p.v, c.cv)/(p.nrm*c.cn) AS cscore
-          |       FROM en p CROSS JOIN cents c),
-          |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-          |                     ORDER BY cscore DESC, cell_id) AS crank FROM ac),
-          |q AS (SELECT vec_id AS q_vec_id, v AS qv, nrm AS qn, cell_id
-          |      FROM ranked WHERE vec_id < 8 AND crank <= 4),
-          |cand0 AS (SELECT vec_id, v, cell_id FROM ranked
-          |          WHERE vec_id >= 8 AND crank = 1),
-          |dists AS (SELECT cand0.vec_id, cand0.cell_id, g.j, cbv.c,
-          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |      list_transform(generate_series(1, 8), i ->
-          |        (cand0.v[g.j*8+i] - cbv.v[g.j*8+i])
-          |          * (cand0.v[g.j*8+i] - cbv.v[g.j*8+i]))),
-          |      (s, x) -> s + x) AS dist
-          |  FROM cand0 CROSS JOIN range(0, 8) AS g(j) CROSS JOIN cbv),
-          |best AS (SELECT vec_id, cell_id, j, c FROM (
-          |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
-          |                                 ORDER BY dist, c) AS rn
-          |    FROM dists) WHERE rn = 1),
-          |rec0 AS (SELECT b.vec_id, b.cell_id, b.j,
-          |           list_transform(generate_series(1, 8),
-          |             i -> cbv.v[b.j*8+i]) AS sub
-          |         FROM best b JOIN cbv ON cbv.c = b.c),
-          |rec AS (SELECT vec_id, cell_id, flatten(list(sub ORDER BY j)) AS rv
-          |        FROM rec0 GROUP BY 1, 2),
-          |rn_ AS (SELECT vec_id, cell_id, rv,
-          |          sqrt(list_dot_product(rv, rv)) AS rnn FROM rec),
-          |scored AS (SELECT q.q_vec_id, r.vec_id AS n_vec_id,
-          |    max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |      list_transform(range(0, 8), j ->
-          |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |          list_transform(generate_series(1, 8),
-          |            i -> q.qv[j*8+i] * r.rv[j*8+i])),
-          |          (s, x) -> s + x))),
-          |      (s, x) -> s + x) / (q.qn * r.rnn)) AS score
-          |  FROM rn_ r JOIN q USING (cell_id) GROUP BY 1, 2),
-          |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
-          |                ORDER BY score DESC, n_vec_id) AS rank FROM scored)
-          |SELECT q_vec_id, CAST(rank AS INT) AS rank, n_vec_id,
-          |       round(score, 6) AS score_r
-          |FROM r WHERE rank <= 5""".stripMargin,
+      "sim_ann_ivf_pq" -> ivfPqOracleSql,
+      // the incremental build assigns/encodes each vector against the
+      // SAME stored quantizers, so batch composition cannot change the
+      // index contents -> the one-shot recomputation oracles it too
+      "sim_ann_ivf_pq_incremental" -> ivfPqOracleSql,
       // oracle: identical SQ8 train/encode/dequantize/score arithmetic —
       // exact min/max, (mx-mn)/255 scales, half-up rounding on non-negative
       // values, sequential-fold dots
@@ -1833,6 +1800,61 @@ object SparkEntry {
        |SELECT 'rule_psi' AS metric, round(sum((pa-pb)*ln(pa/pb)), 6) AS value
        |FROM (SELECT (ca+0.5)/(na+nrules*0.5) AS pa,
        |             (cb+0.5)/(nb+nrules*0.5) AS pb FROM t) x""".stripMargin
+
+  /** IVF assignment + independent PQ recomputation (codebooks = the
+    * sub-vectors of vec_ids 8..23, relational L2 argmins, reconstruction
+    * joined back, ADC score mirroring the engine's fold grouping) —
+    * shared by the one-shot and incremental index queries, whose stored
+    * rows are identical by construction. */
+  private val ivfPqOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |en AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM e),
+      |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM en
+      |          WHERE vec_id >= 8 AND vec_id < 24),
+      |cbv AS (SELECT CAST(vec_id - 8 AS INT) AS c, v FROM e
+      |        WHERE vec_id >= 8 AND vec_id < 24),
+      |ac AS (SELECT p.vec_id, p.v, p.nrm, c.cell_id,
+      |              list_dot_product(p.v, c.cv)/(p.nrm*c.cn) AS cscore
+      |       FROM en p CROSS JOIN cents c),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                     ORDER BY cscore DESC, cell_id) AS crank FROM ac),
+      |q AS (SELECT vec_id AS q_vec_id, v AS qv, nrm AS qn, cell_id
+      |      FROM ranked WHERE vec_id < 8 AND crank <= 4),
+      |cand0 AS (SELECT vec_id, v, cell_id FROM ranked
+      |          WHERE vec_id >= 8 AND crank = 1),
+      |dists AS (SELECT cand0.vec_id, cand0.cell_id, g.j, cbv.c,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, 8), i ->
+      |        (cand0.v[g.j*8+i] - cbv.v[g.j*8+i])
+      |          * (cand0.v[g.j*8+i] - cbv.v[g.j*8+i]))),
+      |      (s, x) -> s + x) AS dist
+      |  FROM cand0 CROSS JOIN range(0, 8) AS g(j) CROSS JOIN cbv),
+      |best AS (SELECT vec_id, cell_id, j, c FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+      |                                 ORDER BY dist, c) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |rec0 AS (SELECT b.vec_id, b.cell_id, b.j,
+      |           list_transform(generate_series(1, 8),
+      |             i -> cbv.v[b.j*8+i]) AS sub
+      |         FROM best b JOIN cbv ON cbv.c = b.c),
+      |rec AS (SELECT vec_id, cell_id, flatten(list(sub ORDER BY j)) AS rv
+      |        FROM rec0 GROUP BY 1, 2),
+      |rn_ AS (SELECT vec_id, cell_id, rv,
+      |          sqrt(list_dot_product(rv, rv)) AS rnn FROM rec),
+      |scored AS (SELECT q.q_vec_id, r.vec_id AS n_vec_id,
+      |    max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, 8), j ->
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, 8),
+      |            i -> q.qv[j*8+i] * r.rv[j*8+i])),
+      |          (s, x) -> s + x))),
+      |      (s, x) -> s + x) / (q.qn * r.rnn)) AS score
+      |  FROM rn_ r JOIN q USING (cell_id) GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+      |                ORDER BY score DESC, n_vec_id) AS rank FROM scored)
+      |SELECT q_vec_id, CAST(rank AS INT) AS rank, n_vec_id,
+      |       round(score, 6) AS score_r
+      |FROM r WHERE rank <= 5""".stripMargin
 
   private val ivfOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

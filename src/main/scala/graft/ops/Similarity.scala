@@ -587,11 +587,41 @@ object Similarity {
       // one file per cell partition (see ivfBuildIndex)
       .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
-    // sidecar codebook header (m x ksub x dsub rows — O(ksub x dim))
+    // sidecar headers: the codebook (m x ksub x dsub rows — O(ksub x dim))
+    // and the coarse centroids (nCells rows), making the index
+    // SELF-CONTAINED: probe and append read quantizers from the index, so
+    // neither ever needs the corpus the index was trained on
     val spark = emb.sparkSession
     graft.engine.TableIO.write(
       spark.range(1).select(posexplode(cb).as(Seq("t", "x"))),
       s"${path}_codebook")
+    graft.engine.TableIO.write(centroids, s"${path}_centroids")
+  }
+
+  /** Incremental IVF-PQ ingest — the nightly-batch companion of
+    * minhashAppendToIndex: NEW vectors are assigned and encoded against
+    * the index's OWN stored quantizers (centroid + codebook sidecars; the
+    * original corpus is never re-read, and quantizers must not drift
+    * between batches or stored codes would decode against the wrong
+    * codebook), then appended cell-partitioned. Append-only is correct:
+    * (vec_id, codes, rn) rows are per-vector facts. Per-batch cost is
+    * O(batch x nCells + batch x dim x ksub) — independent of index size. */
+  def ivfPqAppendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       newVecs: DataFrame, m: Int = 8, ksub: Int = 16): Unit = {
+    val cbFlat = graft.engine.TableIO.read(spark, s"${path}_codebook")
+      .orderBy("t").collect().map(_.getDouble(1)).toSeq
+    val dsub = cbFlat.size / (m * ksub)
+    val cb = typedLit(cbFlat)
+    val centroids = graft.engine.TableIO.read(spark, s"${path}_centroids")
+    val e = prepared(newVecs)
+    nearestCells(e, centroids, "vec_id", 1)
+      .select(col("vec_id"), col("cell_id"),
+        graft.functions.PqEncode(col("v"), cbFlat, m, ksub).as("codes"))
+      .withColumn("rn",
+        sqrt(dot(pqRecon(col("codes"), cb, m, ksub, dsub),
+          pqRecon(col("codes"), cb, m, ksub, dsub))))
+      .repartition(col("cell_id"))
+      .write.mode("append").partitionBy("cell_id").parquet(path)
   }
 
   /** IVF-PQ probe with ADC (asymmetric distance computation): each query
@@ -607,7 +637,10 @@ object Similarity {
                       nCells: Int = 16, nProbe: Int = 4,
                       m: Int = 8, ksub: Int = 16): DataFrame = {
     val e = prepared(emb)
-    val centroids = seedCentroids(e, nQueries, nCells)
+    // quantizers come from the index's own sidecars (bit-exact round-trip
+    // of the build-time values), so the probe touches the corpus table
+    // only for the nQueries query vectors
+    val centroids = graft.engine.TableIO.read(spark, s"${path}_centroids")
     // O(ksub x dim) header read — never a corpus pass
     val cbFlat = graft.engine.TableIO.read(spark, s"${path}_codebook")
       .orderBy("t").collect().map(_.getDouble(1)).toSeq

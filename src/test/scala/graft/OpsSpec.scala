@@ -276,6 +276,29 @@ class OpsSpec extends SparkSpec {
     assert(derived.exists { case (a, bId) => bId == a + 1000000 })
   }
 
+  test("IVF-PQ incremental append equals the one-shot build; empty batch is a no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pq-inc").toString
+    val full = base + "/full"
+    Similarity.ivfPqBuildIndex(embeddings, full)
+    val oneShot = Similarity.ivfPqProbeIndex(spark, full, embeddings).collect().toSet
+    // split the candidates across two ingest batches (split point must
+    // exist in the sparse sf0.001 id space — derive it from the data)
+    val splitId = embeddings.where(col("vec_id") >= 24)
+      .agg(expr("percentile(vec_id, 0.5D)")).head().getDouble(0).toLong
+    val inc = base + "/inc"
+    Similarity.ivfPqBuildIndex(embeddings.where(col("vec_id") < splitId), inc)
+    Similarity.ivfPqAppendIndex(spark, inc,
+      embeddings.where(col("vec_id") >= splitId))
+    assert(Similarity.ivfPqProbeIndex(spark, inc, embeddings).collect().toSet
+      == oneShot,
+      "append against stored quantizers must reproduce the one-shot index")
+    // an empty batch appends nothing and changes nothing
+    Similarity.ivfPqAppendIndex(spark, inc,
+      embeddings.where(col("vec_id") < -1))
+    assert(Similarity.ivfPqProbeIndex(spark, inc, embeddings).collect().toSet
+      == oneShot)
+  }
+
   test("compiled PQ encoder == declarative HOF argmin over the corpus") {
     val e = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))

@@ -338,6 +338,15 @@ object SparkEntry {
     // appended against the index's OWN stored quantizer sidecars (the
     // corpus is never re-read) — probe result identical to the one-shot
     // build, so the same oracle applies
+    // two-stage serving path: ADC shortlist (rerankR=50 per query) from
+    // the PQ index, then ONLY those rows fetch full-precision vectors for
+    // an exact cosine re-rank — near-IVF recall at quantized index I/O
+    "sim_ann_ivf_pq_refined" -> ((s, d) => {
+      val emb = graft.data.Tables.read(s, d, "embeddings")
+      val path = artifactPath("ivf_pq_ref", d)
+      ops.Similarity.ivfPqBuildIndex(emb, path)
+      ops.Similarity.ivfPqProbeRefined(s, path, emb)
+    }),
     "sim_ann_ivf_pq_incremental" -> ((s, d) => {
       val emb = graft.data.Tables.read(s, d, "embeddings")
       val path = artifactPath("ivf_pq_inc", d)
@@ -1242,6 +1251,8 @@ object SparkEntry {
       // SAME stored quantizers, so batch composition cannot change the
       // index contents -> the one-shot recomputation oracles it too
       "sim_ann_ivf_pq_incremental" -> ivfPqOracleSql,
+      // ADC shortlist + exact refine: quantization CTEs shared verbatim
+      "sim_ann_ivf_pq_refined" -> ivfPqRefinedOracleSql,
       // oracle: identical SQ8 train/encode/dequantize/score arithmetic —
       // exact min/max, (mx-mn)/255 scales, half-up rounding on non-negative
       // values, sequential-fold dots
@@ -1855,6 +1866,29 @@ object SparkEntry {
       |SELECT q_vec_id, CAST(rank AS INT) AS rank, n_vec_id,
       |       round(score, 6) AS score_r
       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** The refined probe's oracle: the PQ recomputation's ADC ranking
+    * truncated to the rerankR=20 shortlist, then an exact full-precision
+    * cosine re-rank — spliced onto ivfPqOracleSql so the two derivations
+    * share every quantization CTE verbatim. */
+  private val ivfPqRefinedOracleSql: String =
+    ivfPqOracleSql.replace(
+      """SELECT q_vec_id, CAST(rank AS INT) AS rank, n_vec_id,
+        |       round(score, 6) AS score_r
+        |FROM r WHERE rank <= 5""".stripMargin,
+      """,
+        |short AS (SELECT q_vec_id, n_vec_id FROM r WHERE rank <= 50),
+        |qf AS (SELECT vec_id AS q_vec_id, v AS qv, nrm AS qn FROM en
+        |       WHERE vec_id < 8),
+        |rf AS (SELECT s.q_vec_id, s.n_vec_id,
+        |         list_dot_product(qf.qv, en.v)/(qf.qn*en.nrm) AS score
+        |       FROM short s JOIN en ON en.vec_id = s.n_vec_id
+        |                    JOIN qf ON qf.q_vec_id = s.q_vec_id),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+        |                ORDER BY score DESC, n_vec_id) AS rank FROM rf)
+        |SELECT q_vec_id, CAST(rank AS INT) AS rank, n_vec_id,
+        |       round(score, 6) AS score_r
+        |FROM rr WHERE rank <= 5""".stripMargin)
 
   private val ivfOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

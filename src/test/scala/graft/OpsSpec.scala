@@ -254,6 +254,15 @@ class OpsSpec extends SparkSpec {
     val pq = p1.select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
     val recall = (ivf & pq).size.toDouble / ivf.size
     assert(recall >= 0.3, s"IVF-PQ recall vs full-precision IVF: $recall")
+    // the two-stage refined probe re-ranks the ADC shortlist with exact
+    // cosine — recall must not drop below the plain PQ probe's and should
+    // approach full precision
+    val refined = Similarity.ivfPqProbeRefined(spark, dir, embeddings)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val refRecall = (ivf & refined).size.toDouble / ivf.size
+    assert(refRecall >= recall,
+      s"refined recall $refRecall below plain PQ recall $recall")
+    assert(refRecall >= 0.8, s"refined recall vs full-precision IVF: $refRecall")
   }
 
   test("lshParams: corpus-sized tables, recall-solved table count") {

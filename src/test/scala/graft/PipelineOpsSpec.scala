@@ -220,6 +220,41 @@ class PipelineOpsSpec extends SparkSpec {
       s"hashed variant must key on xxhash64(window):\n$plan")
   }
 
+  test("span dedup: hashed keys measurably shrink the shuffle") {
+    // stage-level shuffle-write accounting via listener; events are
+    // asynchronous, so poll until the counter is stable
+    def shuffleWriteOf(job: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        job
+        var last = -1L
+        var stable = 0
+        var waited = 0
+        while (stable < 3 && waited < 100) {
+          Thread.sleep(100); waited += 1
+          val now = acc.get
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      acc.get
+    }
+    val corpus = Dedup.corpusWithSharedPassages(documents)
+    val strBytes = shuffleWriteOf(
+      Dedup.spanDedup(corpus).write.format("noop").mode("overwrite").save())
+    val hashBytes = shuffleWriteOf(
+      Dedup.spanDedup(corpus, hashKeys = true)
+        .write.format("noop").mode("overwrite").save())
+    assert(strBytes > 0 && hashBytes > 0, s"listener saw $strBytes/$hashBytes")
+    assert(hashBytes < strBytes,
+      s"xxhash64 keys must shuffle fewer bytes: hashed=$hashBytes string=$strBytes")
+  }
+
   test("span dedup flags the injected shared passages across the corpus") {
     val out = Dedup.spanDedup(Dedup.corpusWithSharedPassages(documents)).cache()
     assert(out.count() == documents.count())

@@ -682,10 +682,13 @@ object Similarity {
     * re-rank to top-k. Recall approaches the full-precision IVF's at PQ
     * index cost, with rerankR the recall/IO dial (sandbox sweep vs the
     * full-precision IVF top-5: 0.425 @ R=20, 0.825 @ R=50, 1.0 @ R=100 —
-    * cross-checked against an independent numpy recomputation); the
-    * refinement join touches a candidate-list-sized slice of the corpus
-    * (AQE broadcasts the tiny list side). Deterministic end-to-end →
-    * exact oracle. */
+    * cross-checked against an independent numpy recomputation). The
+    * refinement join streams the corpus scan past the broadcast
+    * nQueries x rerankR shortlist once (output is candidate-sized; the
+    * scan itself is column-pruned but full — at production scale store
+    * the vectors bucketed on vec_id so the fetch prunes to the
+    * shortlist's buckets instead). Deterministic end-to-end → exact
+    * oracle. */
   def ivfPqProbeRefined(spark: org.apache.spark.sql.SparkSession, path: String,
                         emb: DataFrame, nQueries: Int = 8, k: Int = 5,
                         rerankR: Int = 50, nCells: Int = 16, nProbe: Int = 4,

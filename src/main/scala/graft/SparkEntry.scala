@@ -93,6 +93,16 @@ object SparkEntry {
     // zero shuffles, a per-doc relation like validate_verdicts
     "validate_repair" -> ((s, d) =>
       Repair.repairAndRevalidate(DocGen.docs(s, d), DocGen.mediaCatalogMap(s, d))),
+    // verdict transition matrix before vs after the repair pass — the
+    // upgrade regression gate: one doc_id join, <=25-key aggregate with
+    // bounded exemplars per changed cell
+    "validate_diff" -> ((s, d) => {
+      val docs = DocGen.docs(s, d)
+      val cat = DocGen.mediaCatalogMap(s, d)
+      Reconcile.verdictDiff(
+        Validate.verdicts(docs, cat),
+        Repair.repairAndRevalidate(docs, cat))
+    }),
     // heavy-hitter key diagnosis on the event entity key — the skew
     // measurement that precedes salting/broadcast decisions
     "stats_heavy_keys" -> ((s, d) =>
@@ -545,6 +555,25 @@ object SparkEntry {
           |UNION ALL SELECT doc_id, 'R_HEADER_OFFSET_EQ', 'error', 'spans/offset', 'first span must start at the expected offset 0' FROM li WHERE ok%43=0 AND ok%71<>0
           |UNION ALL SELECT doc_id, 'R_REF_VERSION', 'error', 'spans/media_ref', 'media_ref must resolve in its version''s catalog (fallback latest)' FROM li WHERE ok%71<>0 AND (ok%79=0 OR (ok%41=0 AND (pk%1000)%2=1))""".stripMargin)
 
+  /** Post-repair severity counts: the expected-violation predicates with
+    * the four safe normalizations applied (header case-fold, blob->media
+    * alias, media-text drop, offset zeroing) — shared by the repair-report
+    * oracle and the verdict-diff oracle. */
+  private val repairedCountsSql =
+    """CAST(ok%79=0 AND ok%71<>0 AS INT) AS n_fatal,
+      |  CAST(ok%89=0 AND ok%71<>0 AS INT)
+      |    + CAST(ok%53=0 AND ok%71<>0 AS INT)
+      |    + CAST(ok%61=0 AND ok%53<>0 AND ok%71<>0 AS INT)
+      |    + CAST((ok%97=0 OR ok%59=0) AND ok%71<>0 AS INT)
+      |    + CAST(ok%71=0 AS INT)
+      |    + CAST(ok%71=0 OR (ok%89=0 AND ok%59<>0) OR (ok%89<>0 AND ok%59=0) AS INT)
+      |    + CAST(ok%53=0 AND ok%71<>0 AS INT)
+      |    + CAST(ok%71<>0 AND ok%47=0 AND NOT(ok%89<>0 AND ok%59=0) AS INT)
+      |    + CAST(ok%71=0 AS INT)
+      |    + CAST(ok%71<>0 AND (ok%79=0 OR (ok%41=0 AND (pk%1000)%2=1)) AS INT) AS n_error,
+      |  CAST(ok%67=0 AND ok%83=0 AND ok%71<>0 AS INT) AS n_warn,
+      |  CAST(ok%71=0 AS INT) AS n_info""".stripMargin
+
   /** The four severity-count expressions of the expected-verdict
     * recomputation (pure functions of ok/pk) — shared by the per-doc
     * verdict oracle and the per-partition metrics oracle. */
@@ -661,7 +690,7 @@ object SparkEntry {
       // TAIL_EITHER_OR re-derive against the repaired span set (s1 is
       // always media-kind, span0 always offset 0)
       "validate_repair" ->
-        (liCte + """
+        (liCte + s"""
           |SELECT doc_id,
           |  CAST(ok%73=0 AND ok%71<>0 AS INT)
           |    + CAST(ok%67=0 AND ok%83<>0 AND ok%71<>0 AS INT)
@@ -672,20 +701,41 @@ object SparkEntry {
           |  n_fatal AS n_fatal_after, n_error AS n_error_after,
           |  n_warn AS n_warn_after, n_info AS n_info_after
           |FROM (SELECT doc_id, ok,
-          |  CAST(ok%79=0 AND ok%71<>0 AS INT) AS n_fatal,
-          |  CAST(ok%89=0 AND ok%71<>0 AS INT)
-          |    + CAST(ok%53=0 AND ok%71<>0 AS INT)
-          |    + CAST(ok%61=0 AND ok%53<>0 AND ok%71<>0 AS INT)
-          |    + CAST((ok%97=0 OR ok%59=0) AND ok%71<>0 AS INT)
-          |    + CAST(ok%71=0 AS INT)
-          |    + CAST(ok%71=0 OR (ok%89=0 AND ok%59<>0) OR (ok%89<>0 AND ok%59=0) AS INT)
-          |    + CAST(ok%53=0 AND ok%71<>0 AS INT)
-          |    + CAST(ok%71<>0 AND ok%47=0 AND NOT(ok%89<>0 AND ok%59=0) AS INT)
-          |    + CAST(ok%71=0 AS INT)
-          |    + CAST(ok%71<>0 AND (ok%79=0 OR (ok%41=0 AND (pk%1000)%2=1)) AS INT) AS n_error,
-          |  CAST(ok%67=0 AND ok%83=0 AND ok%71<>0 AS INT) AS n_warn,
-          |  CAST(ok%71=0 AS INT) AS n_info
+          |  $repairedCountsSql
           |FROM li) f""".stripMargin),
+      // oracle: the BEFORE verdict (verdictCountsSql) joined per doc to
+      // the AFTER verdict (repairedCountsSql — the same expected post-
+      // repair derivation validate_repair hashes), regrouped into the
+      // transition matrix with the k-smallest exemplar convention of
+      // validate_examples
+      "validate_diff" ->
+        (liCte + s""", pre AS (SELECT doc_id,
+          |  $verdictCountsSql
+          |FROM li),
+          |prev AS (SELECT doc_id,
+          |  CASE WHEN n_fatal>0 THEN 'rejected' WHEN n_error>0 THEN 'invalid'
+          |       WHEN n_warn>0 OR n_info>0 THEN 'acceptable' ELSE 'valid' END AS verdict_before
+          |  FROM pre),
+          |post AS (SELECT doc_id,
+          |  CASE WHEN n_fatal>0 THEN 'rejected' WHEN n_error>0 THEN 'invalid'
+          |       WHEN n_warn>0 OR n_info>0 THEN 'acceptable' ELSE 'valid' END AS verdict_after
+          |  FROM (SELECT doc_id, ok,
+          |  $repairedCountsSql
+          |FROM li) f),
+          |j AS (SELECT prev.doc_id AS doc_id, verdict_before, verdict_after
+          |      FROM prev JOIN post USING (doc_id)),
+          |g AS (SELECT verdict_before, verdict_after,
+          |             CAST(COUNT(*) AS BIGINT) AS n_docs
+          |      FROM j GROUP BY 1, 2),
+          |rk AS (SELECT verdict_before, verdict_after, doc_id,
+          |              row_number() OVER (PARTITION BY verdict_before, verdict_after
+          |                                 ORDER BY doc_id) AS rn
+          |       FROM j),
+          |ex AS (SELECT verdict_before, verdict_after,
+          |              string_agg(doc_id, ',' ORDER BY doc_id) AS examples
+          |       FROM rk WHERE rn <= 5 GROUP BY 1, 2)
+          |SELECT g.verdict_before, g.verdict_after, n_docs, examples
+          |FROM g JOIN ex USING (verdict_before, verdict_after)""".stripMargin),
       // heavy keys: exact counts, integer-ppm share, deterministic
       // (cnt DESC, key ASC) tiebreak
       "stats_heavy_keys" ->

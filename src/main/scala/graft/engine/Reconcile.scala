@@ -145,6 +145,30 @@ object Reconcile {
     * capped at 2k elements: a rule violated by 10^11 documents costs the
     * same memory as one violated by ten.
     */
+  /** Verdict transition matrix between two validation runs over the same
+    * doc population — the regression gate an engine, rule-corpus, or
+    * repair upgrade runs before promoting: per (verdict_before,
+    * verdict_after) doc counts plus <=k exemplar doc_ids per cell to
+    * chase. ONE doc_id equi-join (the only corpus-scale shuffle; both
+    * sides are per-doc relations) feeding a <=25-key aggregate with the
+    * bounded exemplar collector (every transition cell is a hot key by
+    * design — same rationale as [[violationExamples]]). The join is FULL
+    * OUTER with absent sides surfacing as verdict 'absent': a doc_id
+    * dropped or introduced between runs is itself a reported regression,
+    * not a silently-ignored row. */
+  def verdictDiff(before: DataFrame, after: DataFrame, k: Int = 5): DataFrame =
+    before.select(col("doc_id"), col("verdict").as("verdict_before"))
+      .join(after.select(col("doc_id"), col("verdict_after")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("verdict_before"), lit("absent")).as("verdict_before"),
+        coalesce(col("verdict_after"), lit("absent")).as("verdict_after"))
+      .groupBy(col("verdict_before"), col("verdict_after"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.BoundedCollect.strings(k)(col("doc_id")).as("ex"))
+      .select(col("verdict_before"), col("verdict_after"), col("n_docs"),
+        array_join(col("ex"), ",").as("examples"))
+
   def violationExamples(violations: DataFrame, k: Int): DataFrame = {
     val perDoc = violations
       .groupBy(col("rule_id"), col("severity"), col("doc_id"))

@@ -7,6 +7,24 @@ import graft.engine.{Reconcile, Validate}
 class ReconcileSpec extends SparkSpec {
   import spark.implicits._
 
+  test("verdict diff: transition matrix, bounded exemplars, absent sides reported") {
+    val before = Seq(("d1", "valid"), ("d2", "invalid"), ("d3", "invalid"),
+      ("d4", "rejected"), ("d5", "valid")).toDF("doc_id", "verdict")
+    val after = Seq(("d1", "valid"), ("d2", "valid"), ("d3", "valid"),
+      ("d4", "rejected"), ("d6", "valid")).toDF("doc_id", "verdict_after")
+    val got = Reconcile.verdictDiff(before, after, k = 1)
+      .as[(String, String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("valid", "valid")) == ((1L, "d1")))
+    assert(got(("invalid", "valid")) == ((2L, "d2"))) // k=1 keeps smallest id
+    assert(got(("rejected", "rejected")) == ((1L, "d4")))
+    // a doc dropped between runs and a doc introduced between runs are
+    // both REPORTED transitions, never silently ignored
+    assert(got(("valid", "absent")) == ((1L, "d5")))
+    assert(got(("absent", "valid")) == ((1L, "d6")))
+    assert(got.size == 5)
+  }
+
   test("reconcile: classifies mismatch / no-lines / orphan-lines and stays silent on agreement") {
     val header = Seq(
       (1L, 1000L), // matches detail exactly -> no row

@@ -103,6 +103,17 @@ object SparkEntry {
         Validate.verdicts(docs, cat),
         Repair.repairAndRevalidate(docs, cat))
     }),
+    // declarative per-column expectation suite (deequ shape): six
+    // expectations over the documents table evaluated in ONE wide
+    // aggregate scan -> (col_name, expectation, violations, allowed, pass)
+    "validate_expectations" -> ((s, d) => {
+      import graft.engine.Expectations._
+      Expectations.run(graft.data.Tables.read(s, d, "documents"), Seq(
+        NotNull("text"), NotNull("lang"), Unique("doc_id"),
+        InSet("lang", Seq("de", "en", "es", "fr")),
+        Matches("source", "^src[0-9]+$"),
+        Between("n_chars", 0L, 400L)))
+    }),
     // heavy-hitter key diagnosis on the event entity key — the skew
     // measurement that precedes salting/broadcast decisions
     "stats_heavy_keys" -> ((s, d) =>
@@ -736,6 +747,28 @@ object SparkEntry {
           |       FROM rk WHERE rn <= 5 GROUP BY 1, 2)
           |SELECT g.verdict_before, g.verdict_after, n_docs, examples
           |FROM g JOIN ex USING (verdict_before, verdict_after)""".stripMargin),
+      // oracle: every expectation recomputed as one conditional sum over
+      // the same table, then one row per expectation — exact integers
+      "validate_expectations" ->
+        """WITH m AS (SELECT
+          |  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v0,
+          |  SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS v1,
+          |  COUNT(*) - COUNT(DISTINCT doc_id) AS v2,
+          |  SUM(CASE WHEN lang IS NOT NULL
+          |           AND lang NOT IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS v3,
+          |  SUM(CASE WHEN source IS NOT NULL
+          |           AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS v4,
+          |  SUM(CASE WHEN n_chars IS NOT NULL
+          |           AND (n_chars < 0 OR n_chars > 400) THEN 1 ELSE 0 END) AS v5
+          |  FROM documents)
+          |SELECT 'text' AS col_name, 'not_null' AS expectation,
+          |       CAST(v0 AS BIGINT) AS violations, CAST(0 AS BIGINT) AS allowed,
+          |       v0 <= 0 AS pass FROM m
+          |UNION ALL SELECT 'lang', 'not_null', CAST(v1 AS BIGINT), 0, v1 <= 0 FROM m
+          |UNION ALL SELECT 'doc_id', 'unique', CAST(v2 AS BIGINT), 0, v2 <= 0 FROM m
+          |UNION ALL SELECT 'lang', 'in_set', CAST(v3 AS BIGINT), 0, v3 <= 0 FROM m
+          |UNION ALL SELECT 'source', 'matches', CAST(v4 AS BIGINT), 0, v4 <= 0 FROM m
+          |UNION ALL SELECT 'n_chars', 'between', CAST(v5 AS BIGINT), 0, v5 <= 0 FROM m""".stripMargin,
       // heavy keys: exact counts, integer-ppm share, deterministic
       // (cnt DESC, key ASC) tiebreak
       "stats_heavy_keys" ->

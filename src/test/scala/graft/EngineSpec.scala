@@ -7,6 +7,36 @@ import graft.engine._
 class EngineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("expectation suite: hand-computed violations in one scan, rate budget honored") {
+    import graft.engine.Expectations._
+    val df = Seq(
+      (1L, "a", "en", 10L),
+      (2L, null.asInstanceOf[String], "en", 500L),
+      (2L, "c", "xx", -3L),
+      (3L, "d", null.asInstanceOf[String], 20L)
+    ).toDF("id", "text", "lang", "n")
+    val got = graft.engine.Expectations.run(df, Seq(
+      NotNull("text"), NotNull("lang"), Unique("id"),
+      InSet("lang", Seq("en", "de")), Between("n", 0L, 400L),
+      Matches("text", "^[a-z]$", allowed = 1)))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._5))).toMap
+    assert(got(("text", "not_null")) == ((1L, false)))
+    assert(got(("lang", "not_null")) == ((1L, false)))
+    assert(got(("id", "unique")) == ((1L, false)))     // 4 rows, 3 ids
+    assert(got(("lang", "in_set")) == ((1L, false)))   // xx (null not counted)
+    assert(got(("n", "between")) == ((2L, false)))     // 500 and -3
+    assert(got(("text", "matches")) == ((0L, true)))   // all match; budget 1
+    // the whole suite is ONE scan of the input, map-side combined
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.engine.Expectations.run(docs, Seq(
+      NotNull("text"), Unique("doc_id"), Between("n_chars", 0L, 400L)))
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"expectation suite must scan the table once:\n$plan")
+  }
+
+
   test("uniqueness: salted two-phase equals naive groupBy") {
     val docs = DocGen.docs(spark, sf)
     val salted = Uniqueness.duplicateKeys(docs, "doc_id", saltBuckets = 8)

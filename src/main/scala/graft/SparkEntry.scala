@@ -355,10 +355,6 @@ object SparkEntry {
       ops.Similarity.ivfPqBuildIndex(emb, path)
       ops.Similarity.ivfPqProbeIndex(s, path, emb)
     }),
-    // incremental ANN ingest: index built on vec_id < 300, the rest
-    // appended against the index's OWN stored quantizer sidecars (the
-    // corpus is never re-read) — probe result identical to the one-shot
-    // build, so the same oracle applies
     // two-stage serving path: ADC shortlist (rerankR=50 per query) from
     // the PQ index, then ONLY those rows fetch full-precision vectors for
     // an exact cosine re-rank — near-IVF recall at quantized index I/O
@@ -368,6 +364,10 @@ object SparkEntry {
       ops.Similarity.ivfPqBuildIndex(emb, path)
       ops.Similarity.ivfPqProbeRefined(s, path, emb)
     }),
+    // incremental ANN ingest: index built on vec_id < 300, the rest
+    // appended against the index's OWN stored quantizer sidecars (the
+    // corpus is never re-read) — probe result identical to the one-shot
+    // build, so the same oracle applies
     "sim_ann_ivf_pq_incremental" -> ((s, d) => {
       val emb = graft.data.Tables.read(s, d, "embeddings")
       val path = artifactPath("ivf_pq_inc", d)
@@ -1951,7 +1951,7 @@ object SparkEntry {
       |FROM r WHERE rank <= 5""".stripMargin
 
   /** The refined probe's oracle: the PQ recomputation's ADC ranking
-    * truncated to the rerankR=20 shortlist, then an exact full-precision
+    * truncated to the rerankR=50 shortlist, then an exact full-precision
     * cosine re-rank — spliced onto ivfPqOracleSql so the two derivations
     * share every quantization CTE verbatim. */
   private val ivfPqRefinedOracleSql: String =

@@ -68,7 +68,11 @@ object Expectations {
   }
 
   /** Column must be a unique key: violations = rows - distinct values
-    * (each extra occurrence counts once; NULLs collapse like values). */
+    * (each extra occurrence counts once). countDistinct has SQL
+    * COUNT(DISTINCT) semantics — it IGNORES NULLs — so every NULL-keyed
+    * row counts as a violation, which is the right call for a key column
+    * (a NULL key is not a usable unique key); add NotNull(column) to
+    * report the null count separately. */
   final case class Unique(column: String, allowed: Long = 0)
     extends Expectation {
     val name = "unique"

@@ -155,10 +155,17 @@ object Reconcile {
     * design — same rationale as [[violationExamples]]). The join is FULL
     * OUTER with absent sides surfacing as verdict 'absent': a doc_id
     * dropped or introduced between runs is itself a reported regression,
-    * not a silently-ignored row. */
-  def verdictDiff(before: DataFrame, after: DataFrame, k: Int = 5): DataFrame =
-    before.select(col("doc_id"), col("verdict").as("verdict_before"))
-      .join(after.select(col("doc_id"), col("verdict_after")),
+    * not a silently-ignored row.
+    *
+    * Both sides accept either a plain validation run (`verdict` column —
+    * two Validate.verdicts outputs, the engine-upgrade gate) or a repair
+    * report (`verdict_after` — Repair.repairAndRevalidate). */
+  def verdictDiff(before: DataFrame, after: DataFrame, k: Int = 5): DataFrame = {
+    def verdictOf(df: DataFrame): Column =
+      if (df.columns.contains("verdict")) col("verdict")
+      else col("verdict_after")
+    before.select(col("doc_id"), verdictOf(before).as("verdict_before"))
+      .join(after.select(col("doc_id"), verdictOf(after).as("verdict_after")),
         Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("verdict_before"), lit("absent")).as("verdict_before"),
@@ -168,6 +175,7 @@ object Reconcile {
         graft.functions.BoundedCollect.strings(k)(col("doc_id")).as("ex"))
       .select(col("verdict_before"), col("verdict_after"), col("n_docs"),
         array_join(col("ex"), ",").as("examples"))
+  }
 
   def violationExamples(violations: DataFrame, k: Int): DataFrame = {
     val perDoc = violations

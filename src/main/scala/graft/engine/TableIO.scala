@@ -13,6 +13,14 @@ trait TableProvider {
   def overwritePartitions(df: DataFrame, path: String,
                           partitionCols: Seq[String]): Unit
 
+  /** Replace the WHOLE table, partitioned — the full-corpus SINK shape,
+    * where partitions left over from a previous differently-configured
+    * write (other nShards, other corpus) must NOT survive; dynamic
+    * overwrite would keep any partition the new write does not touch.
+    * Iceberg: `writeTo(...).replace()`. */
+  def replaceTable(df: DataFrame, path: String,
+                   partitionCols: Seq[String]): Unit
+
   /** Whether a table exists at `path` — part of the provider contract so
     * engine existence probes (checkpoint lineage, watermark tables) go
     * through the SAME seam as reads: an Iceberg provider answers from its
@@ -35,6 +43,12 @@ object ParquetTableProvider extends TableProvider {
                                    partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  override def replaceTable(df: DataFrame, path: String,
+                            partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
       .partitionBy(partitionCols: _*)
       .parquet(path)
   override def exists(spark: SparkSession, path: String): Boolean = {
@@ -82,6 +96,9 @@ object TableIO {
   def overwritePartitions(df: DataFrame, path: String,
                           partitionCols: Seq[String]): Unit =
     provider(df.sparkSession).overwritePartitions(df, path, partitionCols)
+  def replaceTable(df: DataFrame, path: String,
+                   partitionCols: Seq[String]): Unit =
+    provider(df.sparkSession).replaceTable(df, path, partitionCols)
   def exists(spark: SparkSession, path: String): Boolean =
     provider(spark).exists(spark, path)
 }

@@ -192,16 +192,25 @@ object LshBuckets {
   * vector in one compiled pass. Code j is the L2-argmin over the ksub
   * codebook entries of subspace j (strict < keeps the smallest entry id on
   * ties), with layout cb[(j*ksub + c)*dsub + i] — exactly the arithmetic of
-  * Similarity.pqEncodeDeclarative (equality-asserted in OpsSpec), whose
-  * interpreted form pays ~2 x dim x ksub lambda evaluations per row (the
-  * argmin fold evaluates each candidate distance twice: once for the
-  * comparison, once for the kept struct). This is the corpus-scale hot loop
-  * of the IVF-PQ index build — every vector of a 10^12-row corpus runs it
-  * once.
+  * Similarity.pqEncodeDeclarative (equality-asserted in OpsSpec on the
+  * null-free corpus), whose interpreted form pays ~2 x dim x ksub lambda
+  * evaluations per row (the argmin fold evaluates each candidate distance
+  * twice: once for the comparison, once for the kept struct). This is the
+  * corpus-scale hot loop of the IVF-PQ index build — every vector of a
+  * 10^12-row corpus runs it once.
   *
   * The codebook is a Seq (value equality, so Catalyst canonicalization and
   * subexpression elimination see identical encoders as equal) converted
-  * once per executor to a primitive array. Any null element yields NULL. */
+  * once per executor to a primitive array.
+  *
+  * NULL CONTRACT (deliberately STRICTER than the twin): any null element
+  * or wrong-dimension vector yields NULL for the whole row — a null code
+  * array cannot be mis-read as a valid encoding. The declarative twin
+  * instead null-poisons per SUBSPACE: a null element makes that
+  * subspace's distances null, the when() never fires, and the fold's
+  * initial c = -1 survives — a non-NULL codes array carrying -1, which
+  * downstream reconstruction would mis-index. The two agree on every
+  * well-formed vector (the only input the index build feeds them). */
 case class PqEncode(child: Expression, cbFlat: Seq[Double], m: Int, ksub: Int)
   extends UnaryExpression {
   require(m > 0 && ksub > 0 && cbFlat.nonEmpty &&

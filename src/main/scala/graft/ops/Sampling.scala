@@ -156,6 +156,17 @@ object Sampling {
   def shardOf(docId: Column, nShards: Int, salt: String = "shard"): Column =
     pmod(hashValue(docId, salt), lit(nShards.toLong)).cast("int")
 
+  /** The manifest aggregate body, shared by [[shardManifest]] (shard
+    * derived from the doc hash) and [[writeShards]] (shard read back from
+    * the written partition column) so the two derivations cannot drift. */
+  private def manifestOf(docs: DataFrame, shard: Column): DataFrame =
+    docs
+      .select(shard.cast("int").as("shard"), col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+
   /** Training-shard manifest: per-shard doc/token counts and id bounds —
     * the audit table a shard writer publishes next to the data so a
     * training job can size its readers without listing files. One
@@ -163,13 +174,7 @@ object Sampling {
     * throughout. */
   def shardManifest(corpus: DataFrame, nShards: Int = 16,
                     salt: String = "shard"): DataFrame =
-    corpus
-      .select(shardOf(col("doc_id"), nShards, salt).as("shard"),
-        col("doc_id"),
-        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
-        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+    manifestOf(corpus, shardOf(col("doc_id"), nShards, salt))
 
   /** Write the corpus as `nShards` hash shards through the TableIO seam,
     * partitioned by shard — the final sink of the curation pipeline
@@ -190,22 +195,24 @@ object Sampling {
     * (the sink's read-back is compact, column-pruned to (shard, doc_id,
     * text), and exactly what the manifest must describe — auditing the
     * bytes on disk, not the plan that produced them), instead of
-    * re-executing the upstream pipeline a second time. ShardSinkSpec
-    * asserts the returned manifest's plan scans the shard path, not the
-    * input, and that it equals [[shardManifest]] of the input. */
+    * re-executing the upstream pipeline a second time. The write REPLACES
+    * the whole table (TableIO.replaceTable, static overwrite), not just
+    * the touched partitions: this is a full-corpus sink, and a dynamic
+    * overwrite would let shard directories from a previous
+    * differently-configured write (other nShards, other corpus) survive
+    * into the read-back — and into the manifest that claims to audit the
+    * table. PipelineOpsSpec asserts the returned manifest's plan scans the
+    * shard path, that it equals [[shardManifest]] of the input, and that
+    * re-sharding the same path with fewer shards leaves no stale
+    * partitions behind. */
   def writeShards(corpus: DataFrame, path: String, nShards: Int = 16,
                   salt: String = "shard"): DataFrame = {
-    graft.engine.TableIO.overwritePartitions(
+    graft.engine.TableIO.replaceTable(
       corpus.withColumn("shard", shardOf(col("doc_id"), nShards, salt))
         .repartition(nShards, col("shard")),
       path, Seq("shard"))
     val written = graft.engine.TableIO.read(corpus.sparkSession, path)
-    val manifest = written
-      .select(col("shard").cast("int").as("shard"), col("doc_id"),
-        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
-        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+    val manifest = manifestOf(written, col("shard"))
     graft.engine.TableIO.write(manifest, s"${path}_manifest")
     manifest
   }

@@ -314,7 +314,14 @@ object Similarity {
     * and both branches, and re-executing the assignment crossJoin per
     * consumer would triple the corpus scans (the Stats.outliers
     * convention; at production scale the assignment is written via
-    * TableIO as the index artifact instead). */
+    * TableIO as the index artifact instead). The persist lives as long as
+    * the returned DataFrame may be re-executed, so it cannot be
+    * unpersisted here — a batch caller that is done with the result
+    * releases it (unpersist on the plan's InMemoryRelation or
+    * spark.catalog.clearCache) like any cached artifact; the census also
+    * runs one eager O(nCells)-result job at COMPOSE time (it sizes the
+    * sub-bucket tables), same contract as cosineNearDupPairs' corpus
+    * count. */
   def semanticDedupPairs(corpus: DataFrame, threshold: Double = 0.9,
                          nCells: Int = 16, memberCap: Int = 1000,
                          subBits: Int = -1, subTables: Int = 12): DataFrame = {
@@ -358,9 +365,29 @@ object Similarity {
               graft.functions.LshBuckets(col("v"), bits, subTables))
               .as(Seq("table", "bucket")))
           .where(col("bucket").isNotNull)
+          // collect ONE past the cap so "exceeded" is distinguishable from
+          // "exactly at cap" — a bucket holding exactly memberCap members
+          // still yields its exact pairs
           .groupBy(col("cell_id"), col("table"), col("bucket"))
-          .agg(graft.functions.BoundedCollect.longs(memberCap)(col("vec_id"))
-            .as("ids"))).distinct()
+          .agg(graft.functions.BoundedCollect.longs(memberCap + 1)(col("vec_id"))
+            .as("ids"))
+          // LOUD on an OVER-CAP sub-bucket, preserving the pre-degradation
+          // invariant (pairs are never lost silently): the density-derived
+          // bits keep EXPECTED sub-bucket membership under the cap, but a
+          // cluster of (near-)identical vectors shares one signature in
+          // every table and lands whole in one sub-bucket regardless of
+          // bits — exactly the input where truncating the collector would
+          // silently drop pairs. Such a cluster belongs to EXACT dedup
+          // (identical vectors are exact dups); fail with instructions.
+          // assert_true lives in a Filter via coalesce so pruning cannot
+          // drop it.
+          .where(coalesce(
+            assert_true(size(col("ids")) <= memberCap,
+              lit(s"semanticDedupPairs: an LSH sub-bucket exceeded the " +
+                s"$memberCap-member buffer — an identical-signature " +
+                "cluster larger than memberCap; run exact dedup first " +
+                "or raise memberCap")),
+            lit(true)))).distinct()
       smallPairs.unionAll(bigPairs)
     }
     // single assignment per vector -> a pair occurs in at most one cell and
@@ -610,6 +637,10 @@ object Similarity {
                        newVecs: DataFrame, m: Int = 8, ksub: Int = 16): Unit = {
     val cbFlat = graft.engine.TableIO.read(spark, s"${path}_codebook")
       .orderBy("t").collect().map(_.getDouble(1)).toSeq
+    // same guard as the probe: an (m, ksub) that disagrees with the stored
+    // codebook must fail HERE, not append mis-encoded rows into the index
+    require(cbFlat.nonEmpty && cbFlat.size % (m * ksub) == 0,
+      s"codebook header size ${cbFlat.size} not divisible by m*ksub=${m * ksub}")
     val dsub = cbFlat.size / (m * ksub)
     val cb = typedLit(cbFlat)
     val centroids = graft.engine.TableIO.read(spark, s"${path}_centroids")

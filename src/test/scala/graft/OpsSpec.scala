@@ -208,12 +208,13 @@ class OpsSpec extends SparkSpec {
 
   test("semantic dedup degrades over-cap cells to LSH sub-buckets, pairs exact") {
     val corpus = Similarity.corpusWithNearDupVecs(embeddings)
-    // one cell, cap far below the corpus size -> the WHOLE corpus routes
-    // down the sub-bucketed branch; subBits derives from the cell size
-    // (density ~cap/2, so the collector never truncates) and amplified
-    // tables keep candidate recall ~1 here
+    // one cell, cap below the corpus size -> the WHOLE corpus routes down
+    // the sub-bucketed branch; subBits derives from the cell size and
+    // amplified tables keep candidate recall ~1 here (cap 400 leaves room
+    // for the corpus's correlated same-signature groups, which land whole
+    // in one sub-bucket — the over-cap loud stop is exercised below)
     val got = Similarity.semanticDedupPairs(
-      corpus, nCells = 1, memberCap = 8, subTables = 24)
+      corpus, nCells = 1, memberCap = 400, subTables = 24)
       .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
     // exhaustive within-cell truth (nCells=1 -> all-pairs), driver-side
     val vecs = corpus.select("vec_id", "v").as[(Long, Seq[Double])].collect()
@@ -230,6 +231,18 @@ class OpsSpec extends SparkSpec {
     // branch output matches the same truth restricted to shared cells
     assert(Similarity.semanticDedupPairs(corpus).count() ===
       Similarity.semanticDedupPairs(corpus, memberCap = 1000000).count())
+    // an identical-signature cluster larger than the cap lands whole in
+    // ONE sub-bucket in every table regardless of bits — pairs must fail
+    // LOUDLY (pre-degradation invariant), never truncate silently
+    val base = (0L until 4L).map(i => (i, Seq.fill(8)(i * 0.1 + 0.1)))
+    val clones = (0L until 12L).map(i => (100L + i, Seq.fill(8)(7.0)))
+    val skewed = (base ++ clones).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      Similarity.semanticDedupPairs(skewed, nCells = 2, memberCap = 8).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("sub-bucket exceeded")), s"got: $e")
   }
 
   test("similarity: IVF-PQ index — ADC probe, pruning, compression, recall") {

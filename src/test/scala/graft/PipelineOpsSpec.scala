@@ -399,6 +399,15 @@ class PipelineOpsSpec extends SparkSpec {
     val fromInput = Sampling.shardManifest(docs, nShards = 8)
     assert(manifest.exceptAll(fromInput).count() == 0
       && fromInput.exceptAll(manifest).count() == 0)
+    // the sink REPLACES the whole table: re-sharding the same path with
+    // fewer shards must leave no stale shard directories (a dynamic
+    // overwrite would keep shard=4..7 from the 8-shard write, and the
+    // read-back manifest would audit ghosts)
+    val m4 = Sampling.writeShards(docs, path, nShards = 4)
+    assert(m4.select("shard").as[Int].collect().toSet == Set(0, 1, 2, 3))
+    assert(graft.engine.TableIO.read(spark, path)
+      .select("shard").distinct().count() == 4)
+    assert(m4.agg(sum("n_docs")).as[Long].head() == docs.count())
   }
 
   test("bigram LM stats: familiar, gibberish, and short docs behave") {

@@ -57,6 +57,9 @@ class SubmissionStoreSpec extends SparkSpec {
       def overwritePartitions(df: DataFrame, p: String,
                               cols: Seq[String]): Unit =
         calls += s"owp:$p:${cols.mkString("+")}"
+      def replaceTable(df: DataFrame, p: String,
+                       cols: Seq[String]): Unit =
+        calls += s"replace:$p:${cols.mkString("+")}"
       def exists(s: SparkSession, p: String): Boolean = {
         calls += s"exists:$p"; false
       }

@@ -40,7 +40,9 @@ class PartitionMetricsSpec extends SparkSpec {
       .withColumn("ship_day", date_format(col("l_shipdate"), "yyyy-MM-dd"))
     val df = Validate.partitionMetrics(DocGen.docsFrom(li, keep = Seq("ship_day")), catalog)
     val plan = df.queryExecution.executedPlan.toString
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // exclude Tables.read's deterministic-hash scan fan-out (xxhash64 key)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length -
+      "hashpartitioning\\(xxhash64".r.findAllIn(plan).length
     assert(shuffles == 1, s"expected exactly one keyed shuffle, got $shuffles:\n$plan")
     // the map-side partial aggregate is what bounds a hot partition's cost
     assert(plan.contains("partial"), s"no partial aggregation in:\n$plan")

@@ -78,7 +78,8 @@ class RepairSpec extends SparkSpec {
     val repaired = Repair.repairAndRevalidate(docs, catalog)
     val plan = repaired.queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(plan).length
-    val fanOut = "RoundRobinPartitioning".r.findAllIn(plan).length
+    val fanOut = "RoundRobinPartitioning|hashpartitioning\\(xxhash64".r
+      .findAllIn(plan).length
     assert(exchanges == fanOut,
       s"repair must add no shuffle beyond the scan fan-out:\n$plan")
   }

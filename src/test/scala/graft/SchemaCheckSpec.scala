@@ -76,7 +76,9 @@ class SchemaCheckSpec extends SparkSpec {
       "user_id", "event_type", "ts", "event_id",
       "purchase", "click", "R_X").queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"precondition must not join:\n$plan")
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // exclude Tables.read's deterministic-hash scan fan-out (xxhash64 key)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length -
+      "hashpartitioning\\(xxhash64".r.findAllIn(plan).length
     assert(shuffles == 1, s"expected exactly one keyed shuffle, got $shuffles:\n$plan")
   }
 }

@@ -156,31 +156,47 @@ object Similarity {
     e.where(col("vec_id") >= nQueries && col("vec_id") < nQueries + nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cn"))
 
-  /** Nearest-centroid assignment: each point gets its n best cells.
-    * Heap aggregate, not a window: all of a point's centroid scores sit in
-    * one map partition after the broadcast cross join, so the groupBy
-    * combines fully map-side and shuffles ONE row per point — the window
-    * formulation would shuffle corpus x nCells rows and sort them. */
-  private def nearestCells(points: DataFrame, centroids: DataFrame,
+  /** Collected coarse-quantizer table: (cell ids, flat centroid vectors,
+    * centroid norms), sorted by cell id. O(nCells x dim) doubles on the
+    * driver — an index header, the same driver-size class as the PQ
+    * codebook / SQ8 params sidecars and the same ceiling as the broadcast
+    * the former join-based assignment shipped. */
+  private final case class Cents(ids: Seq[Long], flat: Seq[Double], cns: Seq[Double])
+
+  private def collectCentroids(centroids: DataFrame): Cents = {
+    val rows = centroids.select(col("cell_id"), col("cv"), col("cn"))
+      .orderBy("cell_id").collect()
+    Cents(rows.map(_.getLong(0)).toSeq,
+      rows.flatMap(_.getSeq[Double](1)).toSeq,
+      rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Nearest-centroid assignment: each point gets its n best cells, as a
+    * ROW-LOCAL projection over the collected quantizer (the map-side
+    * assignment shape production ANN builds use — broadcast quantizers,
+    * assign in the scan). The former formulation
+    * (crossJoin(broadcast(centroids)) + groupBy(id) + TopKAgg) SHUFFLED
+    * the whole corpus — full-precision vectors included — once per
+    * assignment, just to regroup scores that were already row-local after
+    * the broadcast join; functions.NearestCells computes the identical
+    * (score DESC, id ASC) top-n with the identical fold arithmetic and
+    * zero Exchange. A window formulation would be worse still (corpus x
+    * nCells rows to one reducer per point). */
+  private def nearestCells(points: DataFrame, cents: Cents,
                            idCol: String, n: Int): DataFrame =
-    points.crossJoin(broadcast(centroids))
-      .select(col(idCol), col("v"), col("norm"), col("cell_id"),
-        (dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("cscore"))
-      .groupBy(col(idCol))
-      .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
-        graft.functions.TopKAgg.topK(n)(col("cscore"), col("cell_id")).as("cells"))
-      .select(col(idCol), col("v"), col("norm"), explode(col("cells")).as("c"))
-      .select(col(idCol), col("v"), col("norm"), col("c.id").as("cell_id"))
+    points.select(col(idCol), col("v"), col("norm"),
+      explode(graft.functions.NearestCells(col("v"), col("norm"),
+        cents.ids, cents.flat, cents.cns, n)).as("cell_id"))
 
   def ivfTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = prepared(emb)
-    val centroids = seedCentroids(e, nQueries, nCells)
+    val cents = collectCentroids(seedCentroids(e, nQueries, nCells))
     val q = nearestCells(
-      e.where(col("vec_id") < nQueries), centroids, "vec_id", nProbe)
+      e.where(col("vec_id") < nQueries), cents, "vec_id", nProbe)
       .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell_id"))
-    val c = nearestCells(e.where(col("vec_id") >= nQueries), centroids, "vec_id", 1)
+    val c = nearestCells(e.where(col("vec_id") >= nQueries), cents, "vec_id", 1)
     rerank(c, q, k)
   }
 
@@ -233,12 +249,12 @@ object Similarity {
   def ivfTopKKmeans(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
                     nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = prepared(emb)
-    val centroids = kmeansCentroids(e, nQueries, nCells)
+    val cents = collectCentroids(kmeansCentroids(e, nQueries, nCells))
     val q = nearestCells(
-      e.where(col("vec_id") < nQueries), centroids, "vec_id", nProbe)
+      e.where(col("vec_id") < nQueries), cents, "vec_id", nProbe)
       .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell_id"))
-    val c = nearestCells(e.where(col("vec_id") >= nQueries), centroids, "vec_id", 1)
+    val c = nearestCells(e.where(col("vec_id") >= nQueries), cents, "vec_id", 1)
     rerank(c, q, k)
   }
 
@@ -250,8 +266,8 @@ object Similarity {
   def ivfBuildIndex(emb: DataFrame, path: String,
                     nQueries: Int = 8, nCells: Int = 16): Unit = {
     val e = prepared(emb)
-    val centroids = seedCentroids(e, nQueries, nCells)
-    nearestCells(e.where(col("vec_id") >= nQueries), centroids, "vec_id", 1)
+    val cents = collectCentroids(seedCentroids(e, nQueries, nCells))
+    nearestCells(e.where(col("vec_id") >= nQueries), cents, "vec_id", 1)
       // co-locate each cell's rows before the partitioned write: without
       // this every write task emits a file per cell it happens to hold
       // (tasks x cells tiny files — at 1000 executors an index-wide small-
@@ -269,9 +285,9 @@ object Similarity {
                     emb: DataFrame, nQueries: Int = 8, k: Int = 5,
                     nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = prepared(emb)
-    val centroids = seedCentroids(e, nQueries, nCells)
+    val cents = collectCentroids(seedCentroids(e, nQueries, nCells))
     val q = nearestCells(
-      e.where(col("vec_id") < nQueries), centroids, "vec_id", nProbe)
+      e.where(col("vec_id") < nQueries), cents, "vec_id", nProbe)
       .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell_id"))
     val probedCells = q.select("cell_id").distinct()
@@ -327,10 +343,12 @@ object Similarity {
                          subBits: Int = -1, subTables: Int = 12): DataFrame = {
     val e = corpus.select(col("vec_id"), col("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val centroids = e.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cn"))
+    val cents = collectCentroids(
+      e.where(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell_id"), col("v").as("cv"),
+          col("norm").as("cn")))
     // every vector (centroid seeds included) assigned to its 1 nearest cell
-    val assigned = nearestCells(e, centroids, "vec_id", 1)
+    val assigned = nearestCells(e, cents, "vec_id", 1)
       .select(col("vec_id"), col("v"), col("cell_id")).persist()
     val sizes = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
     def pairsOf(grouped: DataFrame): DataFrame = grouped
@@ -484,10 +502,10 @@ object Similarity {
   def ivfSq8BuildIndex(emb: DataFrame, path: String,
                        nQueries: Int = 8, nCells: Int = 16): Unit = {
     val e = prepared(emb)
-    val centroids = seedCentroids(e, nQueries, nCells)
+    val cents = collectCentroids(seedCentroids(e, nQueries, nCells))
     val cands = e.where(col("vec_id") >= nQueries)
     val (mns, scales) = sq8Params(cands.select(col("vec_id"), col("v")))
-    val assigned = nearestCells(cands, centroids, "vec_id", 1)
+    val assigned = nearestCells(cands, cents, "vec_id", 1)
     assigned
       .select(col("vec_id"), sq8Encode(mns, scales).as("code"), col("cell_id"))
       // one file per cell partition (see ivfBuildIndex)
@@ -506,9 +524,9 @@ object Similarity {
                        emb: DataFrame, nQueries: Int = 8, k: Int = 5,
                        nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = prepared(emb)
-    val centroids = seedCentroids(e, nQueries, nCells)
+    val cents = collectCentroids(seedCentroids(e, nQueries, nCells))
     val q = nearestCells(
-      e.where(col("vec_id") < nQueries), centroids, "vec_id", nProbe)
+      e.where(col("vec_id") < nQueries), cents, "vec_id", nProbe)
       .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell_id"))
     val probedCells = q.select("cell_id").distinct()
@@ -600,11 +618,12 @@ object Similarity {
                       m: Int = 8, ksub: Int = 16): Unit = {
     val e = prepared(emb)
     val centroids = seedCentroids(e, nQueries, nCells)
+    val cents = collectCentroids(centroids)
     val cands = e.where(col("vec_id") >= nQueries)
     val cbFlat = pqCodebookFlat(e, nQueries, m, ksub)
     val dsub = cbFlat.size / (m * ksub)
     val cb = typedLit(cbFlat)
-    val assigned = nearestCells(cands, centroids, "vec_id", 1)
+    val assigned = nearestCells(cands, cents, "vec_id", 1)
     assigned
       .select(col("vec_id"), col("cell_id"),
         graft.functions.PqEncode(col("v"), cbFlat, m, ksub).as("codes"))
@@ -643,9 +662,10 @@ object Similarity {
       s"codebook header size ${cbFlat.size} not divisible by m*ksub=${m * ksub}")
     val dsub = cbFlat.size / (m * ksub)
     val cb = typedLit(cbFlat)
-    val centroids = graft.engine.TableIO.read(spark, s"${path}_centroids")
+    val cents = collectCentroids(
+      graft.engine.TableIO.read(spark, s"${path}_centroids"))
     val e = prepared(newVecs)
-    nearestCells(e, centroids, "vec_id", 1)
+    nearestCells(e, cents, "vec_id", 1)
       .select(col("vec_id"), col("cell_id"),
         graft.functions.PqEncode(col("v"), cbFlat, m, ksub).as("codes"))
       .withColumn("rn",
@@ -671,7 +691,8 @@ object Similarity {
     // quantizers come from the index's own sidecars (bit-exact round-trip
     // of the build-time values), so the probe touches the corpus table
     // only for the nQueries query vectors
-    val centroids = graft.engine.TableIO.read(spark, s"${path}_centroids")
+    val cents = collectCentroids(
+      graft.engine.TableIO.read(spark, s"${path}_centroids"))
     // O(ksub x dim) header read — never a corpus pass
     val cbFlat = graft.engine.TableIO.read(spark, s"${path}_codebook")
       .orderBy("t").collect().map(_.getDouble(1)).toSeq
@@ -686,7 +707,7 @@ object Similarity {
           s + element_at(col("qv"), j * dsub + i + 1) *
             element_at(cb, (j * ksub + c) * dsub + i + 1)))))
     val q = nearestCells(
-      e.where(col("vec_id") < nQueries), centroids, "vec_id", nProbe)
+      e.where(col("vec_id") < nQueries), cents, "vec_id", nProbe)
       .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell_id"))
       .withColumn("qlut", qlut)

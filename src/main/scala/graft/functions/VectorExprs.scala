@@ -221,6 +221,18 @@ case class PqEncode(child: Expression, cbFlat: Seq[Double], m: Int, ksub: Int)
   override def dataType: DataType = ArrayType(IntegerType)
   override def nullable: Boolean = true
 
+  /** Analysis-time input check (the declarative twin gets this from
+    * Catalyst for free): a non-array<double> child must fail analysis, not
+    * ClassCastException inside executors at runtime. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckSuccess
+      case t => TypeCheckFailure(
+        s"pq_encode needs array<double>, got ${t.simpleString(10)}")
+    }
+  }
+
   @transient private lazy val cb: Array[Double] = cbFlat.toArray
 
   override def nullSafeEval(input: Any): Any =

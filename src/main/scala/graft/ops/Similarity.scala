@@ -323,21 +323,24 @@ object Similarity {
     * the LARGEST over-cap cell (lshParams' density rule: 2^subBits sized so
     * expected sub-bucket membership ~memberCap/2 — the collector cap then
     * never truncates), or pinned via the parameter. Cell sizes come from a
-    * <=nCells-row census (driver-safe to inspect, broadcast to route each
-    * cell down exactly one branch); when no cell exceeds the cap the
-    * degraded branch is dropped from the plan entirely. The narrow
-    * (vec_id, v, cell_id) assignment is persisted — it feeds the census
-    * and both branches, and re-executing the assignment crossJoin per
-    * consumer would triple the corpus scans (the Stats.outliers
-    * convention; at production scale the assignment is written via
-    * TableIO as the index artifact instead). The persist lives as long as
-    * the returned DataFrame may be re-executed, so it cannot be
-    * unpersisted here — a batch caller that is done with the result
-    * releases it (unpersist on the plan's InMemoryRelation or
-    * spark.catalog.clearCache) like any cached artifact; the census also
-    * runs one eager O(nCells)-result job at COMPOSE time (it sizes the
-    * sub-bucket tables), same contract as cosineNearDupPairs' corpus
-    * count. */
+    * <=nCells-row census COLLECTED driver-side (driver-safe by the same
+    * O(nCells) argument as the quantizer itself); cells route down exactly
+    * one branch via literal id filters, and when no cell exceeds the cap
+    * the degraded branch — and the census broadcast the old shape needed —
+    * is dropped from the plan entirely.
+    *
+    * PERSIST CONTRACT: the narrow (vec_id, v, cell_id) assignment is a
+    * row-local projection (nearestCells is map-side), so re-executing it
+    * costs one corpus scan, not a shuffle. It is therefore persisted ONLY
+    * when an over-cap branch will actually consume it twice; the common
+    * (under-cap) case composes lazily with zero caches and zero eager
+    * corpus jobs — the census (one map-side-combined O(nCells)-result
+    * pass at COMPOSE time, same contract as cosineNearDupPairs' corpus
+    * count) is the only action. When the persist IS installed it lives as
+    * long as the returned DataFrame may be re-executed; a batch caller
+    * that is done with the result releases it like any cached artifact
+    * (at production scale the assignment is written via TableIO as the
+    * index artifact instead). */
   def semanticDedupPairs(corpus: DataFrame, threshold: Double = 0.9,
                          nCells: Int = 16, memberCap: Int = 1000,
                          subBits: Int = -1, subTables: Int = 12): DataFrame = {
@@ -348,28 +351,35 @@ object Similarity {
         .select(col("vec_id").as("cell_id"), col("v").as("cv"),
           col("norm").as("cn")))
     // every vector (centroid seeds included) assigned to its 1 nearest cell
-    val assigned = nearestCells(e, cents, "vec_id", 1)
-      .select(col("vec_id"), col("v"), col("cell_id")).persist()
-    val sizes = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+    val assignedRaw = nearestCells(e, cents, "vec_id", 1)
+      .select(col("vec_id"), col("v"), col("cell_id"))
+    // <=nCells-row census, collected: sizes route cells down branches and
+    // size the sub-bucket tables. It runs on the UN-persisted assignment
+    // (one map-side-combined pass over the row-local projection), so the
+    // corpus-scale persist below is paid only when actually reused.
+    val bigCells = assignedRaw.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+      .where(col("n") > memberCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxBig = if (bigCells.isEmpty) 0L else bigCells.map(_._2).max
+    val assigned = if (maxBig == 0L) assignedRaw else assignedRaw.persist()
     def pairsOf(grouped: DataFrame): DataFrame = grouped
       .where(size(col("ids")) > 1)
       .select(col("cell_id"),
         explode_outer(graft.util.Exprs.sortedPairs(col("ids"))).as("p"))
       .where(col("p").isNotNull)
       .select(col("cell_id"), col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"))
-    // exhaustive branch: cells under the cap (the SemDeDup contract)
+    val bigIds = bigCells.map(_._1).toSeq
+    // exhaustive branch: cells under the cap (the SemDeDup contract); the
+    // over-cap exclusion is a literal id filter (no filter at all in the
+    // common all-under-cap case — the plan is then census-join-free)
     val smallPairs = pairsOf(
-      assigned
-        .join(broadcast(sizes.where(col("n") <= memberCap)), Seq("cell_id"))
+      (if (bigIds.isEmpty) assigned
+       else assigned.where(!col("cell_id").isin(bigIds: _*)))
         .groupBy(col("cell_id"))
         .agg(graft.functions.BoundedCollect.longs(memberCap)(col("vec_id"))
           .as("ids")))
     // degraded branch: over-cap cells sub-bucketed by multi-table LSH;
-    // multi-table hits deduped before the verify. The census row count is
-    // <=nCells (driver-scale), so inspecting the max over-cap size to size
-    // the sub-bucket tables is an O(nCells) action, not a corpus pass.
-    val maxBig = sizes.where(col("n") > memberCap)
-      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    // multi-table hits deduped before the verify
     val candidates = if (maxBig == 0L) smallPairs else {
       val bits =
         if (subBits > 0) subBits
@@ -377,7 +387,7 @@ object Similarity {
           math.ceil(math.log(maxBig * 2.0 / memberCap) / math.log(2)).toInt))
       val bigPairs = pairsOf(
         assigned
-          .join(broadcast(sizes.where(col("n") > memberCap)), Seq("cell_id"))
+          .where(col("cell_id").isin(bigIds: _*))
           .select(col("cell_id"), col("vec_id"),
             posexplode_outer(
               graft.functions.LshBuckets(col("v"), bits, subTables))
@@ -442,13 +452,15 @@ object Similarity {
     * dot) → exact DuckDB oracle. */
   /** SQ8 training pass: per-dimension (min, scale) over the candidate set
     * (posexplode -> 1 agg with map-side combine; output is dim rows
-    * regardless of corpus size, driver-safe) as typedLit array columns. */
-  private def sq8Params(cands: DataFrame): (Column, Column) = {
+    * regardless of corpus size, driver-safe), as raw Seqs so callers can
+    * both lift them to typedLit columns and write the sidecar from driver
+    * values without another Spark job. */
+  private def sq8Params(cands: DataFrame): (Seq[Double], Seq[Double]) = {
     val stats = cands.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
       .orderBy("i").collect()
-    (typedLit(stats.map(_.getDouble(1)).toSeq),
-      typedLit(stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq))
+    (stats.map(_.getDouble(1)).toSeq,
+      stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq)
   }
 
   /** Encode `v` to 8-bit codes 0..255 (constant dims -> 0). */
@@ -467,7 +479,8 @@ object Similarity {
   def sq8TopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cands = base.where(col("vec_id") >= nQueries)
-    val (mns, scales) = sq8Params(cands)
+    val (mnsSeq, scalesSeq) = sq8Params(cands)
+    val (mns, scales) = (typedLit(mnsSeq), typedLit(scalesSeq))
     // encode, then dequantize for the asymmetric scoring pass
     val codes = sq8Encode(mns, scales)
     val deq = sq8Dequant(mns, scales)
@@ -504,19 +517,22 @@ object Similarity {
     val e = prepared(emb)
     val cents = collectCentroids(seedCentroids(e, nQueries, nCells))
     val cands = e.where(col("vec_id") >= nQueries)
-    val (mns, scales) = sq8Params(cands.select(col("vec_id"), col("v")))
+    val (mnsSeq, scalesSeq) = sq8Params(cands.select(col("vec_id"), col("v")))
+    val (mns, scales) = (typedLit(mnsSeq), typedLit(scalesSeq))
     val assigned = nearestCells(cands, cents, "vec_id", 1)
     assigned
       .select(col("vec_id"), sq8Encode(mns, scales).as("code"), col("cell_id"))
       // one file per cell partition (see ivfBuildIndex)
       .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
-    // sidecar quantization metadata (dim rows — the index header)
+    // sidecar quantization metadata (dim rows — the index header), written
+    // from the already-collected driver values: no extra Spark job
     val spark = emb.sparkSession
     import spark.implicits._
     graft.engine.TableIO.write(
-      spark.range(1).select(posexplode(mns).as(Seq("i", "mn")))
-        .join(spark.range(1).select(posexplode(scales).as(Seq("i", "scale"))), "i"),
+      mnsSeq.zip(scalesSeq).zipWithIndex
+        .map { case ((mn, sc), i) => (i.toLong, mn, sc) }
+        .toDF("i", "mn", "scale"),
       s"${path}_meta")
   }
 
@@ -617,8 +633,7 @@ object Similarity {
                       nQueries: Int = 8, nCells: Int = 16,
                       m: Int = 8, ksub: Int = 16): Unit = {
     val e = prepared(emb)
-    val centroids = seedCentroids(e, nQueries, nCells)
-    val cents = collectCentroids(centroids)
+    val cents = collectCentroids(seedCentroids(e, nQueries, nCells))
     val cands = e.where(col("vec_id") >= nQueries)
     val cbFlat = pqCodebookFlat(e, nQueries, m, ksub)
     val dsub = cbFlat.size / (m * ksub)
@@ -627,21 +642,62 @@ object Similarity {
     assigned
       .select(col("vec_id"), col("cell_id"),
         graft.functions.PqEncode(col("v"), cbFlat, m, ksub).as("codes"))
-      .withColumn("rn",
-        sqrt(dot(pqRecon(col("codes"), cb, m, ksub, dsub),
-          pqRecon(col("codes"), cb, m, ksub, dsub))))
+      // `recon` is materialized as its own attribute so the norm's two
+      // references cost ONE evaluation of the interpreted reconstruction
+      // HOF per row (CollapseProject keeps non-cheap multi-referenced
+      // aliases — the ngramJaccardPairs convention), not two
+      .withColumn("recon", pqRecon(col("codes"), cb, m, ksub, dsub))
+      .withColumn("rn", sqrt(dot(col("recon"), col("recon"))))
+      .drop("recon")
       // one file per cell partition (see ivfBuildIndex)
       .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
-    // sidecar headers: the codebook (m x ksub x dsub rows — O(ksub x dim))
-    // and the coarse centroids (nCells rows), making the index
-    // SELF-CONTAINED: probe and append read quantizers from the index, so
-    // neither ever needs the corpus the index was trained on
-    val spark = emb.sparkSession
+    writePqHeader(emb.sparkSession, path, m, ksub, cbFlat, cents)
+  }
+
+  /** ONE self-contained sidecar header per PQ index: the quantizer shape
+    * (m, ksub), the flat codebook, and the coarse centroids — everything a
+    * probe or append needs, so neither ever touches the corpus the index
+    * was trained on. Written from the already-collected driver values (the
+    * O(ksub x dim + nCells x dim) header — no corpus job), in one table
+    * instead of the former two (_codebook + _centroids), halving the
+    * sidecar write/read round-trips. Persisting (m, ksub) closes the
+    * factorization-swap hole: an append or probe whose caller passes a
+    * different (m, ksub) of the same product would silently decode against
+    * a transposed codebook layout — now it fails the shape check. */
+  private def writePqHeader(spark: org.apache.spark.sql.SparkSession,
+                            path: String, m: Int, ksub: Int,
+                            cbFlat: Seq[Double], cents: Cents): Unit = {
+    import spark.implicits._
+    val dim = cents.flat.size / cents.ids.size
+    val rows =
+      Seq(("shape", 0L, Seq(m.toDouble, ksub.toDouble), 0.0),
+        ("codebook", 0L, cbFlat, 0.0)) ++
+        cents.ids.indices.map(i => ("centroid", cents.ids(i),
+          cents.flat.slice(i * dim, (i + 1) * dim), cents.cns(i)))
     graft.engine.TableIO.write(
-      spark.range(1).select(posexplode(cb).as(Seq("t", "x"))),
-      s"${path}_codebook")
-    graft.engine.TableIO.write(centroids, s"${path}_centroids")
+      rows.toDF("kind", "id", "vec", "x"), s"${path}_header")
+  }
+
+  private final case class PqHeader(cbFlat: Seq[Double], cents: Cents)
+
+  /** Read a PQ index header back, failing fast when the caller's (m, ksub)
+    * disagrees with the stored shape (see [[writePqHeader]]). */
+  private def readPqHeader(spark: org.apache.spark.sql.SparkSession,
+                           path: String, m: Int, ksub: Int): PqHeader = {
+    val rows = graft.engine.TableIO.read(spark, s"${path}_header").collect()
+    def of(kind: String) = rows.filter(_.getString(0) == kind)
+    val shape = of("shape").headOption.getOrElse(
+      throw new IllegalStateException(s"no shape row in ${path}_header"))
+      .getSeq[Double](2)
+    require(shape == Seq(m.toDouble, ksub.toDouble),
+      s"index at $path was built with (m, ksub)=(${shape.map(_.toInt).mkString(", ")}), " +
+        s"caller passed ($m, $ksub) — stored codes would decode against the wrong layout")
+    val cbFlat = of("codebook").head.getSeq[Double](2)
+    val cRows = of("centroid").sortBy(_.getLong(1))
+    PqHeader(cbFlat, Cents(cRows.map(_.getLong(1)).toSeq,
+      cRows.flatMap(_.getSeq[Double](2)).toSeq,
+      cRows.map(_.getDouble(3)).toSeq))
   }
 
   /** Incremental IVF-PQ ingest — the nightly-batch companion of
@@ -654,23 +710,19 @@ object Similarity {
     * O(batch x nCells + batch x dim x ksub) — independent of index size. */
   def ivfPqAppendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        newVecs: DataFrame, m: Int = 8, ksub: Int = 16): Unit = {
-    val cbFlat = graft.engine.TableIO.read(spark, s"${path}_codebook")
-      .orderBy("t").collect().map(_.getDouble(1)).toSeq
-    // same guard as the probe: an (m, ksub) that disagrees with the stored
-    // codebook must fail HERE, not append mis-encoded rows into the index
-    require(cbFlat.nonEmpty && cbFlat.size % (m * ksub) == 0,
-      s"codebook header size ${cbFlat.size} not divisible by m*ksub=${m * ksub}")
-    val dsub = cbFlat.size / (m * ksub)
-    val cb = typedLit(cbFlat)
-    val cents = collectCentroids(
-      graft.engine.TableIO.read(spark, s"${path}_centroids"))
+    // the header's stored (m, ksub) must agree with the caller's — a
+    // disagreeing shape fails HERE, never appends mis-encoded rows
+    val hdr = readPqHeader(spark, path, m, ksub)
+    val dsub = hdr.cbFlat.size / (m * ksub)
+    val cb = typedLit(hdr.cbFlat)
     val e = prepared(newVecs)
-    nearestCells(e, cents, "vec_id", 1)
+    nearestCells(e, hdr.cents, "vec_id", 1)
       .select(col("vec_id"), col("cell_id"),
-        graft.functions.PqEncode(col("v"), cbFlat, m, ksub).as("codes"))
-      .withColumn("rn",
-        sqrt(dot(pqRecon(col("codes"), cb, m, ksub, dsub),
-          pqRecon(col("codes"), cb, m, ksub, dsub))))
+        graft.functions.PqEncode(col("v"), hdr.cbFlat, m, ksub).as("codes"))
+      // recon materialized once — see ivfPqBuildIndex
+      .withColumn("recon", pqRecon(col("codes"), cb, m, ksub, dsub))
+      .withColumn("rn", sqrt(dot(col("recon"), col("recon"))))
+      .drop("recon")
       .repartition(col("cell_id"))
       .write.mode("append").partitionBy("cell_id").parquet(path)
   }
@@ -688,16 +740,13 @@ object Similarity {
                       nCells: Int = 16, nProbe: Int = 4,
                       m: Int = 8, ksub: Int = 16): DataFrame = {
     val e = prepared(emb)
-    // quantizers come from the index's own sidecars (bit-exact round-trip
-    // of the build-time values), so the probe touches the corpus table
-    // only for the nQueries query vectors
-    val cents = collectCentroids(
-      graft.engine.TableIO.read(spark, s"${path}_centroids"))
-    // O(ksub x dim) header read — never a corpus pass
-    val cbFlat = graft.engine.TableIO.read(spark, s"${path}_codebook")
-      .orderBy("t").collect().map(_.getDouble(1)).toSeq
-    require(cbFlat.size % (m * ksub) == 0,
-      s"codebook header size ${cbFlat.size} not divisible by m*ksub=${m * ksub}")
+    // quantizers come from the index's own sidecar header (bit-exact
+    // round-trip of the build-time values, O(ksub x dim + nCells x dim) —
+    // never a corpus pass), so the probe touches the corpus table only for
+    // the nQueries query vectors; a disagreeing (m, ksub) fails fast
+    val hdr = readPqHeader(spark, path, m, ksub)
+    val cents = hdr.cents
+    val cbFlat = hdr.cbFlat
     val dsub = cbFlat.size / (m * ksub)
     val cb = typedLit(cbFlat)
     // lut[j*ksub + c] = <q's subspace-j slice, codebook entry (j, c)>

@@ -180,25 +180,27 @@ class OpsSpec extends SparkSpec {
         s"$name: the hint sits on a subtree without '$boundedMark' — " +
           s"likely the corpus side:\n${hinted.head}")
     }
-    // semantic dedup on an under-cap corpus: the sub-bucketed branch is
-    // dropped at compose time, so exactly ONE hinted join remains visible —
-    // the <=nCells-row census broadcast routing the exhaustive branch (the
-    // centroid broadcast sits inside the persisted assignment subtree,
-    // which the plan shows as an InMemoryRelation)
+    // semantic dedup on an under-cap corpus: the sub-bucketed branch AND
+    // the census routing are dropped at compose time (cells route via
+    // literal id filters from the collected census), so the plan carries
+    // NO hinted join and — because the row-local assignment is consumed
+    // exactly once — NO persisted assignment either (the persist is paid
+    // only when an over-cap branch reuses it)
     {
-      val df = Similarity.semanticDedupPairs(
-        Similarity.corpusWithNearDupVecs(embeddings))
+      // local in-memory corpus: a parquet read would be substituted with
+      // the fixture's InMemoryRelation by the cache manager and mask the
+      // no-persist assertion
+      val local = (0L until 40L).map(i => (i, Seq.tabulate(8)(d => (i % 7 + d) * 0.1)))
+        .toDF("vec_id", "v")
+      val df = Similarity.semanticDedupPairs(local)
       val plan = df.queryExecution.optimizedPlan
       val hinted = plan.collect {
-        case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty =>
-          if (j.hint.leftHint.nonEmpty) j.left else j.right
+        case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
       }
-      assert(hinted.size === 1,
-        s"dedup_semantic: one visible census hint expected, got ${hinted.size}")
-      assert(hinted.head.toString.toLowerCase.contains("count"),
-        s"dedup_semantic: the hint sits on an unbounded subtree:\n${hinted.head}")
-      assert(plan.toString.contains("InMemoryRelation"),
-        "dedup_semantic: the narrow assignment must be persisted")
+      assert(hinted.isEmpty,
+        s"dedup_semantic: under-cap plan must be census-join-free, got ${hinted.size}")
+      assert(!plan.toString.contains("InMemoryRelation"),
+        "dedup_semantic: under-cap plan must not persist the assignment")
     }
     // the fixed eval-benchmark shingle set (static size estimates under a
     // Generate once chose to build the CORPUS side — pinned explicitly)

@@ -190,14 +190,17 @@ object SparkEntry {
     // the nightly monitoring composition: two runs' per-rule counts
     // PERSISTED to the metrics store partitioned by run_id (even docs =
     // base snapshot, odd = current), then rule PSI computed from the two
-    // stored <=|rules|-row tables alone — neither corpus touched again
+    // stored <=|rules|-row tables alone — neither corpus touched again.
+    // The two runs partition one corpus, so their metrics are stored in
+    // ONE validation pass + ONE partitioned write (storeRunRuleMetricsSplit
+    // — counts identical to per-run stores, half the corpus scans)
     "drift_stored_runs" -> ((s, d) => {
       val docs = DocGen.docs(s, d)
       val cat = DocGen.mediaCatalogMap(s, d)
       val out = artifactPath("runmetrics", d)
       val parity = element_at(split(col("doc_id"), "-"), 1).cast("bigint") % 2
-      Checkpoint.storeRunRuleMetrics(docs.where(parity === 0), cat, out, "base")
-      Checkpoint.storeRunRuleMetrics(docs.where(parity === 1), cat, out, "cur")
+      Checkpoint.storeRunRuleMetricsSplit(docs, cat, out,
+        when(parity === 0, "base").otherwise("cur"))
       Checkpoint.rulePsiBetweenStoredRuns(s, out, "base", "cur")
     }),
     // batch gap-sessionization (12h gap), semantics identical to the

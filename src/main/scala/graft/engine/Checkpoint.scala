@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.data.DocGen
 
@@ -165,24 +165,53 @@ object Checkpoint {
   /** Persist ONE run's per-rule violation counts to the metrics store,
     * partitioned by run_id — the nightly-run companion of the per-bucket
     * rule_metrics [[run]] writes. One map-side-combined aggregate to a
-    * <=|rules|-row table; idempotent per run (re-running a run_id replaces
-    * exactly its partition directory). */
+    * <=|rules|-row table; idempotent per run (dynamic partition overwrite
+    * replaces exactly this run's partition). run_id travels as a COLUMN
+    * through the provider seam — an Iceberg provider addresses tables by
+    * name and partitions by value, never by a hand-built subpath. */
   def storeRunRuleMetrics(docs: DataFrame, catalog: Map[String, String],
                           outDir: String, runId: String): Unit =
-    TableIO.write(
+    TableIO.overwritePartitions(
       Validate.violations(docs, catalog)
-        .groupBy("rule_id").agg(count(lit(1)).as("count")),
-      s"${runMetricsPath(outDir)}/run_id=$runId")
+        .groupBy("rule_id").agg(count(lit(1)).as("count"))
+        .withColumn("run_id", lit(runId)),
+      runMetricsPath(outDir), Seq("run_id"))
+
+  /** Persist SEVERAL runs' per-rule counts in ONE validation pass: `runId`
+    * is an expression over the violation rows (e.g. a doc_id parity
+    * mapping docs to snapshot halves), and the single aggregate keys on
+    * (run_id, rule_id) before one dynamic-partition-overwrite write. Where
+    * the runs partition one corpus, this halves the corpus scans and rule
+    * evaluations vs calling [[storeRunRuleMetrics]] per run — at 100 TB
+    * that is one full validation pass instead of two. Counts are
+    * bit-identical to the per-run calls (each doc's violations are
+    * independent of the other docs). */
+  def storeRunRuleMetricsSplit(docs: DataFrame, catalog: Map[String, String],
+                               outDir: String, runId: Column): Unit =
+    TableIO.overwritePartitions(
+      Validate.violations(docs, catalog)
+        .withColumn("run_id", runId)
+        .groupBy("run_id", "rule_id").agg(count(lit(1)).as("count")),
+      runMetricsPath(outDir), Seq("run_id"))
 
   /** The monitoring query an operator runs nightly: rule-level PSI between
     * two STORED runs' metrics — which constraints fire differently between
     * yesterday's snapshot and today's, answered from the persisted
     * <=|rules|-row metrics tables without touching either corpus again.
     * run_id is a partition directory, so each side's read prunes to its own
-    * partition (PartitionFilters); the PSI arithmetic is Drift.rulePsi's. */
+    * partition (PartitionFilters); the PSI arithmetic is Drift.rulePsi's.
+    * A run_id absent from the store FAILS FAST (a filesystem-level probe,
+    * no Spark job): the full-outer rulePsi would otherwise return a
+    * plausible-looking drift value against an empty side. */
   def rulePsiBetweenStoredRuns(spark: SparkSession, outDir: String,
                                baseRun: String, curRun: String): DataFrame = {
-    val m = TableIO.read(spark, runMetricsPath(outDir))
+    val path = runMetricsPath(outDir)
+    Seq(baseRun, curRun).foreach { r =>
+      require(TableIO.exists(spark, s"$path/run_id=$r"),
+        s"no stored metrics for run '$r' under $path — " +
+          "PSI against a missing run would compare to an empty side")
+    }
+    val m = TableIO.read(spark, path)
     Drift.rulePsi(
       m.where(col("run_id") === baseRun).select("rule_id", "count"),
       m.where(col("run_id") === curRun).select("rule_id", "count"))

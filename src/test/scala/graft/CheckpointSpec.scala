@@ -25,6 +25,19 @@ class CheckpointSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*run_id".r.findFirstIn(plan).isDefined,
       s"metrics read must prune on run_id:\n$plan")
+    // the one-pass split store writes BOTH runs from one validation pass
+    // with bit-identical stored counts (per-doc violations are independent)
+    val dir2 = Files.createTempDirectory("graft-runpsi2").toString
+    Checkpoint.storeRunRuleMetricsSplit(docs, cat, dir2,
+      when(parity === 0, "base").otherwise("cur"))
+    val storedSplit = Checkpoint.rulePsiBetweenStoredRuns(spark, dir2, "base", "cur")
+    assert(storedSplit.collect().toSeq == onePass.collect().toSeq,
+      "split-stored PSI must equal the per-run stored PSI")
+    // a typo'd run_id fails fast instead of comparing against an empty side
+    val e = intercept[IllegalArgumentException] {
+      Checkpoint.rulePsiBetweenStoredRuns(spark, dir2, "base", "nope")
+    }
+    assert(e.getMessage.contains("no stored metrics"), e.getMessage)
   }
 
   test("resume after mid-run failure completes and equals a one-shot run") {

@@ -164,8 +164,18 @@ object Reconcile {
     def verdictOf(df: DataFrame): Column =
       if (df.columns.contains("verdict")) col("verdict")
       else col("verdict_after")
+    // SHUFFLE_HASH, not the default sort-merge (guide-of-record §3.1: pick
+    // the strategy deliberately): both sides are fixed-width narrow rows
+    // (doc_id + one enum string), so a post-shuffle partition's hash table
+    // is bounded by the AQE advisory partition size and the build is
+    // cheaper than sort-merge's TWO full sorts of per-doc relations.
+    // Spark supports full-outer shuffled-hash since 3.1 (build side tracks
+    // matched rows). With heavy skew or fatter rows sort-merge's graceful
+    // spill would win — per-doc verdict relations are uniform by
+    // construction (doc_id is effectively unique per side).
     before.select(col("doc_id"), verdictOf(before).as("verdict_before"))
-      .join(after.select(col("doc_id"), verdictOf(after).as("verdict_after")),
+      .join(after.select(col("doc_id"), verdictOf(after).as("verdict_after"))
+          .hint("SHUFFLE_HASH"),
         Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("verdict_before"), lit("absent")).as("verdict_before"),

@@ -97,11 +97,18 @@ object Validate {
   def spanFingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      aggregate(col("spans"), lit(""), (acc, s) => concat(acc,
+      // transform + array_join, not an aggregate fold with a growing acc
+      // string: the fold re-copies the accumulated prefix on every element
+      // (quadratic bytes per row) where the per-element projection builds
+      // each piece once and joins in one pass. Same output on every
+      // non-null-offset row (offsets are non-null by construction; a null
+      // offset would null its element, which array_join skips where the
+      // fold poisoned the whole fingerprint).
+      array_join(transform(col("spans"), s => concat(
         coalesce(s.getField("kind"), lit("~")), lit(":"),
         coalesce(s.getField("text"), lit("~")), lit(":"),
         coalesce(s.getField("media_ref"), lit("~")), lit(":"),
-        s.getField("offset").cast("string"), lit("|"))).as("span_fp"))
+        s.getField("offset").cast("string"), lit("|"))), "").as("span_fp"))
 
   def run(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val catalog = DocGen.mediaCatalogMap(spark, sfDir)

@@ -75,44 +75,10 @@ case class NearestCells(left: Expression, right: Expression,
       v(i) = arr.getDouble(i)
       i += 1
     }
-    val norm = normBoxed.doubleValue()
-    val nc = ids.length
-    val k = math.min(n, nc)
-    // insertion top-k over (score DESC, id ASC) — identical order to
-    // TopKAgg.before (Double.compare: NaN greatest, -0.0 < 0.0)
-    val topScore = new Array[Double](k)
-    val topId = new Array[Long](k)
-    var used = 0
-    var c = 0
-    while (c < nc) {
-      var dot = 0.0
-      var j = 0
-      val off = c * dim
-      while (j < dim) { dot += v(j) * cv(off + j); j += 1 }
-      val score = dot / (norm * cn(c))
-      val id = ids(c)
-      // find insert position: first slot this candidate beats
-      var pos = used
-      var p = 0
-      var found = false
-      while (p < used && !found) {
-        val cmp = java.lang.Double.compare(score, topScore(p))
-        if (cmp > 0 || (cmp == 0 && id < topId(p))) { pos = p; found = true }
-        p += 1
-      }
-      if (pos < k) {
-        val last = math.min(used, k - 1)
-        var q = last
-        while (q > pos) { topScore(q) = topScore(q - 1); topId(q) = topId(q - 1); q -= 1 }
-        topScore(pos) = score
-        topId(pos) = id
-        if (used < k) used += 1
-      }
-      c += 1
-    }
-    val out = new Array[Any](used)
+    val top = NearestCells.topN(v, normBoxed.doubleValue(), ids, cv, cn, n)
+    val out = new Array[Any](top.length)
     var o = 0
-    while (o < used) { out(o) = java.lang.Long.valueOf(topId(o)); o += 1 }
+    while (o < top.length) { out(o) = java.lang.Long.valueOf(top(o)); o += 1 }
     new GenericArrayData(out)
   }
 
@@ -136,4 +102,48 @@ object NearestCells {
             cns: Seq[Double], n: Int): Column =
     GraftBridge.column(NearestCells(GraftBridge.expression(v),
       GraftBridge.expression(norm), cellIds, cvFlat, cns, n))
+
+  /** The top-n selection itself, shared by the expression and the
+    * driver-side tiny-query-batch path (Similarity collects the nQueries
+    * query vectors once and assigns their probe cells here, so the probe
+    * plan carries a LocalRelation instead of re-executing the query-side
+    * scan per consumer). Order: (score DESC, id ASC) via
+    * java.lang.Double.compare — identical to TopKAgg (NaN greatest,
+    * -0.0 < 0.0); score(cell) = seqfold-dot(v, cv) / (norm * cn). */
+  def topN(v: Array[Double], norm: Double, ids: Array[Long],
+           cv: Array[Double], cn: Array[Double], n: Int): Array[Long] = {
+    val dim = v.length
+    val nc = ids.length
+    val k = math.min(n, nc)
+    val topScore = new Array[Double](k)
+    val topId = new Array[Long](k)
+    var used = 0
+    var c = 0
+    while (c < nc) {
+      var dot = 0.0
+      var j = 0
+      val off = c * dim
+      while (j < dim) { dot += v(j) * cv(off + j); j += 1 }
+      val score = dot / (norm * cn(c))
+      val id = ids(c)
+      // find insert position: first slot this candidate beats
+      var pos = used
+      var p = 0
+      var found = false
+      while (p < used && !found) {
+        val cmp = java.lang.Double.compare(score, topScore(p))
+        if (cmp > 0 || (cmp == 0 && id < topId(p))) { pos = p; found = true }
+        p += 1
+      }
+      if (pos < k) {
+        var q = math.min(used, k - 1)
+        while (q > pos) { topScore(q) = topScore(q - 1); topId(q) = topId(q - 1); q -= 1 }
+        topScore(pos) = score
+        topId(pos) = id
+        if (used < k) used += 1
+      }
+      c += 1
+    }
+    topId.take(used)
+  }
 }

@@ -188,14 +188,41 @@ object Similarity {
       explode(graft.functions.NearestCells(col("v"), col("norm"),
         cents.ids, cents.flat, cents.cns, n)).as("cell_id"))
 
+  /** The QUERY side of every probe, collected driver-side: the query batch
+    * is nQueries rows by contract (tiny and fixed — the same argument that
+    * justifies the static partition filter), so its vectors are collected
+    * ONCE, probe cells assigned with the same NearestCells.topN selection,
+    * and the (q_vec_id, qv, qn, cell_id) rows returned as a LocalRelation
+    * plus the distinct probed-cell list. The old shape planned the query
+    * side as a Spark subtree that executed TWICE per probe — once for the
+    * probed-cells collect and again inside the scoring join — re-scanning
+    * the corpus table for 8 rows each time. norm stays Spark-computed
+    * upstream (prepared), so every double is the bit-exact value the old
+    * path used. */
+  private def localQueryBatch(e: DataFrame, nQueries: Int, cents: Cents,
+                              nProbe: Int): (DataFrame, Seq[Long]) = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val ids = cents.ids.toArray
+    val cv = cents.flat.toArray
+    val cn = cents.cns.toArray
+    val rows = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v"), col("norm")).collect()
+      .flatMap { r =>
+        val v = r.getSeq[Double](1)
+        graft.functions.NearestCells
+          .topN(v.toArray, r.getDouble(2), ids, cv, cn, nProbe)
+          .map(c => (r.getLong(0), v, r.getDouble(2), c))
+      }.toSeq
+    (rows.toDF("q_vec_id", "qv", "qn", "cell_id"),
+      rows.map(_._4).distinct.sorted)
+  }
+
   def ivfTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = prepared(emb)
     val cents = collectCentroids(seedCentroids(e, nQueries, nCells))
-    val q = nearestCells(
-      e.where(col("vec_id") < nQueries), cents, "vec_id", nProbe)
-      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("cell_id"))
+    val (q, _) = localQueryBatch(e, nQueries, cents, nProbe)
     val c = nearestCells(e.where(col("vec_id") >= nQueries), cents, "vec_id", 1)
     rerank(c, q, k)
   }
@@ -250,10 +277,7 @@ object Similarity {
                     nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = prepared(emb)
     val cents = collectCentroids(kmeansCentroids(e, nQueries, nCells))
-    val q = nearestCells(
-      e.where(col("vec_id") < nQueries), cents, "vec_id", nProbe)
-      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("cell_id"))
+    val (q, _) = localQueryBatch(e, nQueries, cents, nProbe)
     val c = nearestCells(e.where(col("vec_id") >= nQueries), cents, "vec_id", 1)
     rerank(c, q, k)
   }
@@ -286,12 +310,7 @@ object Similarity {
                     nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = prepared(emb)
     val cents = collectCentroids(seedCentroids(e, nQueries, nCells))
-    val q = nearestCells(
-      e.where(col("vec_id") < nQueries), cents, "vec_id", nProbe)
-      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("cell_id"))
-    val probedCells = q.select("cell_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val (q, probedCells) = localQueryBatch(e, nQueries, cents, nProbe)
     val index = spark.read.parquet(path)
       .where(col("cell_id").isin(probedCells: _*))
       .select(col("cell_id"), col("vec_id"), col("v"), col("norm"))
@@ -541,12 +560,7 @@ object Similarity {
                        nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = prepared(emb)
     val cents = collectCentroids(seedCentroids(e, nQueries, nCells))
-    val q = nearestCells(
-      e.where(col("vec_id") < nQueries), cents, "vec_id", nProbe)
-      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("cell_id"))
-    val probedCells = q.select("cell_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val (q, probedCells) = localQueryBatch(e, nQueries, cents, nProbe)
     // O(dim) header read — never a corpus pass
     val meta = graft.engine.TableIO.read(spark, s"${path}_meta")
       .orderBy("i").collect()
@@ -755,14 +769,10 @@ object Similarity {
         aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (s, i) =>
           s + element_at(col("qv"), j * dsub + i + 1) *
             element_at(cb, (j * ksub + c) * dsub + i + 1)))))
-    val q = nearestCells(
-      e.where(col("vec_id") < nQueries), cents, "vec_id", nProbe)
-      .select(col("vec_id").as("q_vec_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("cell_id"))
+    val (qRaw, probedCells) = localQueryBatch(e, nQueries, cents, nProbe)
+    val q = qRaw
       .withColumn("qlut", qlut)
       .drop("qv") // the broadcast ships luts, not raw query vectors
-    val probedCells = q.select("cell_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
     val index = spark.read.parquet(path)
       .where(col("cell_id").isin(probedCells: _*))
       .select(col("cell_id"), col("vec_id"), col("codes"), col("rn"))

@@ -51,7 +51,13 @@ object Reconcile {
       .agg(
         sum(round(col("line_value") * 100).cast("long")).as("computed_cents"),
         count(lit(1)).as("n_lines"))
-    val joined = header.join(detail, Seq("order_key"), "full_outer")
+    // SHUFFLE_HASH over the default sort-merge (same rationale as
+    // verdictDiff): both sides are <=|header| fixed-width keyed rows, so
+    // the per-partition hash build is bounded and cheaper than two full
+    // sorts; full-outer shuffled-hash is supported (build side tracks
+    // matched rows)
+    val joined = header.join(detail.hint("SHUFFLE_HASH"),
+      Seq("order_key"), "full_outer")
     val rule = when(col("stored_cents").isNull, lit("R_ORPHAN_LINES"))
       .when(col("n_lines").isNull, lit("R_NO_LINES"))
       .when(col("stored_cents") =!= col("computed_cents"), lit("R_TOTAL_MISMATCH"))

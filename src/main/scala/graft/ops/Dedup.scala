@@ -373,11 +373,25 @@ object Dedup {
       .persist()
     var iter = 0
     var done = false
+    // convergence detection is an EXACT (count, sum) checksum, not a
+    // next-vs-previous join: labels are monotonically non-increasing per
+    // node (next(v) = min(label(v), neighbor labels) <= label(v)) over a
+    // fixed node set, so the label sum strictly decreases iff ANY label
+    // changed — comparing one decimal(38,0) sum (exact at any id scale,
+    // where a long sum could wrap at 10^12 x 10^12) replaces the per-round
+    // shuffle join of two participant-scale tables; the agg doubles as the
+    // action that materializes the round's cache.
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("label").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
     // every intermediate cache is released on BOTH exit paths; the returned
     // table stays persisted (it is participant-scale, bounded by the pair
     // caps, and consumers read it lazily) — callers may unpersist it after
     // consumption, and Spark's ContextCleaner reclaims it once unreferenced
     try {
+      var cur = checksum(labels)
       while (!done) {
         val viaNeighbors = edges
           .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
@@ -385,18 +399,17 @@ object Dedup {
         val next = labels.unionAll(viaNeighbors)
           .groupBy("doc_id").agg(min("label").as("label"))
           .persist()
-        val changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-          .where(col("label") =!= col("prev")).count()
+        val nxt = checksum(next)
         labels.unpersist()
         labels = next
         iter += 1
-        if (changed == 0) done = true
+        if (nxt == cur) done = true
         else if (iter >= maxIter) {
           labels.unpersist()
           throw new IllegalStateException(
             s"dupClusters did not converge in $maxIter rounds " +
               "(component diameter exceeds the bound — use star-contraction)")
-        }
+        } else cur = nxt
       }
     } finally edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))

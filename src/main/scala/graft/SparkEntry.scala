@@ -200,7 +200,7 @@ object SparkEntry {
       val out = artifactPath("runmetrics", d)
       val parity = element_at(split(col("doc_id"), "-"), 1).cast("bigint") % 2
       Checkpoint.storeRunRuleMetricsSplit(docs, cat, out,
-        when(parity === 0, "base").otherwise("cur"))
+        when(parity === 0, "base").otherwise("cur"), Seq("base", "cur"))
       Checkpoint.rulePsiBetweenStoredRuns(s, out, "base", "cur")
     }),
     // batch gap-sessionization (12h gap), semantics identical to the

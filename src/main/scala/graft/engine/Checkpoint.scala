@@ -162,24 +162,43 @@ object Checkpoint {
 
   def runMetricsPath(outDir: String) = s"$outDir/run_metrics"
 
+  /** Sentinel rule_id row written once per stored run: dynamic partition
+    * overwrite writes NOTHING for a run whose aggregate is empty (a
+    * legitimately violation-free corpus), which would leave a stale prior
+    * partition in place (or never create one). The marker guarantees every
+    * stored run materializes — and truncates — its partition; readers
+    * filter it out, so PSI arithmetic never sees it. */
+  val RunMarkerRule = "__run_marker__"
+
+  private def markerRows(spark: SparkSession, runs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    runs.map(r => (r, RunMarkerRule, 0L)).toDF("run_id", "rule_id", "count")
+  }
+
   /** Persist ONE run's per-rule violation counts to the metrics store,
     * partitioned by run_id — the nightly-run companion of the per-bucket
     * rule_metrics [[run]] writes. One map-side-combined aggregate to a
     * <=|rules|-row table; idempotent per run (dynamic partition overwrite
-    * replaces exactly this run's partition). run_id travels as a COLUMN
-    * through the provider seam — an Iceberg provider addresses tables by
-    * name and partitions by value, never by a hand-built subpath. */
+    * replaces exactly this run's partition; the [[RunMarkerRule]] row
+    * guarantees the partition is written even for a violation-free run).
+    * run_id travels as a COLUMN through the provider seam — an Iceberg
+    * provider addresses tables by name and partitions by value, never by a
+    * hand-built subpath. */
   def storeRunRuleMetrics(docs: DataFrame, catalog: Map[String, String],
                           outDir: String, runId: String): Unit =
     TableIO.overwritePartitions(
       Validate.violations(docs, catalog)
         .groupBy("rule_id").agg(count(lit(1)).as("count"))
-        .withColumn("run_id", lit(runId)),
+        .withColumn("run_id", lit(runId))
+        .select("run_id", "rule_id", "count")
+        .unionAll(markerRows(docs.sparkSession, Seq(runId))),
       runMetricsPath(outDir), Seq("run_id"))
 
   /** Persist SEVERAL runs' per-rule counts in ONE validation pass: `runId`
     * is an expression over the violation rows (e.g. a doc_id parity
-    * mapping docs to snapshot halves), and the single aggregate keys on
+    * mapping docs to snapshot halves), `runs` names the run ids the
+    * expression can produce (marker rows guarantee each one's partition is
+    * written even when violation-free), and the single aggregate keys on
     * (run_id, rule_id) before one dynamic-partition-overwrite write. Where
     * the runs partition one corpus, this halves the corpus scans and rule
     * evaluations vs calling [[storeRunRuleMetrics]] per run — at 100 TB
@@ -187,11 +206,14 @@ object Checkpoint {
     * bit-identical to the per-run calls (each doc's violations are
     * independent of the other docs). */
   def storeRunRuleMetricsSplit(docs: DataFrame, catalog: Map[String, String],
-                               outDir: String, runId: Column): Unit =
+                               outDir: String, runId: Column,
+                               runs: Seq[String]): Unit =
     TableIO.overwritePartitions(
       Validate.violations(docs, catalog)
         .withColumn("run_id", runId)
-        .groupBy("run_id", "rule_id").agg(count(lit(1)).as("count")),
+        .groupBy("run_id", "rule_id").agg(count(lit(1)).as("count"))
+        .select("run_id", "rule_id", "count")
+        .unionAll(markerRows(docs.sparkSession, runs)),
       runMetricsPath(outDir), Seq("run_id"))
 
   /** The monitoring query an operator runs nightly: rule-level PSI between
@@ -200,21 +222,32 @@ object Checkpoint {
     * <=|rules|-row metrics tables without touching either corpus again.
     * run_id is a partition directory, so each side's read prunes to its own
     * partition (PartitionFilters); the PSI arithmetic is Drift.rulePsi's.
-    * A run_id absent from the store FAILS FAST (a filesystem-level probe,
-    * no Spark job): the full-outer rulePsi would otherwise return a
-    * plausible-looking drift value against an empty side. */
+    * A run_id absent from the store FAILS FAST — probed through the
+    * provider's READ (one partition-pruned job over the <=|rules|-row
+    * store, finding the [[RunMarkerRule]] every stored run carries), never
+    * through a hand-built run_id=<x> subpath (which an Iceberg provider
+    * cannot resolve and Hive value-escaping would break): the full-outer
+    * rulePsi would otherwise return a plausible-looking drift value
+    * against an empty side. */
   def rulePsiBetweenStoredRuns(spark: SparkSession, outDir: String,
                                baseRun: String, curRun: String): DataFrame = {
     val path = runMetricsPath(outDir)
+    require(TableIO.exists(spark, path),
+      s"no run metrics store at $path")
+    val m = TableIO.read(spark, path)
+    val present = m
+      .where(col("run_id").cast("string").isin(baseRun, curRun))
+      .select(col("run_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
     Seq(baseRun, curRun).foreach { r =>
-      require(TableIO.exists(spark, s"$path/run_id=$r"),
+      require(present.contains(r),
         s"no stored metrics for run '$r' under $path — " +
           "PSI against a missing run would compare to an empty side")
     }
-    val m = TableIO.read(spark, path)
-    Drift.rulePsi(
-      m.where(col("run_id") === baseRun).select("rule_id", "count"),
-      m.where(col("run_id") === curRun).select("rule_id", "count"))
+    def side(r: String) = m
+      .where(col("run_id") === r && col("rule_id") =!= RunMarkerRule)
+      .select("rule_id", "count")
+    Drift.rulePsi(side(baseRun), side(curRun))
   }
 
   // ---- partition-watermark incremental validation --------------------------

@@ -109,11 +109,18 @@ object NearestCells {
     * plan carries a LocalRelation instead of re-executing the query-side
     * scan per consumer). Order: (score DESC, id ASC) via
     * java.lang.Double.compare — identical to TopKAgg (NaN greatest,
-    * -0.0 < 0.0); score(cell) = seqfold-dot(v, cv) / (norm * cn). */
+    * -0.0 < 0.0); score(cell) = seqfold-dot(v, cv) / (norm * cn).
+    *
+    * The stride comes from the CENTROID table (cv.length / ids.length),
+    * never from the input vector: a mis-dimensioned vector returns empty
+    * (row dropped — the same fate the expression path's dim check gives
+    * it) instead of reading misaligned centroid slices. */
   def topN(v: Array[Double], norm: Double, ids: Array[Long],
            cv: Array[Double], cn: Array[Double], n: Int): Array[Long] = {
-    val dim = v.length
     val nc = ids.length
+    if (nc == 0) return Array.emptyLongArray
+    val dim = cv.length / nc
+    if (v.length != dim) return Array.emptyLongArray
     val k = math.min(n, nc)
     val topScore = new Array[Double](k)
     val topId = new Array[Long](k)

@@ -184,9 +184,16 @@ object Similarity {
     * nCells rows to one reducer per point). */
   private def nearestCells(points: DataFrame, cents: Cents,
                            idCol: String, n: Int): DataFrame =
-    points.select(col(idCol), col("v"), col("norm"),
-      explode(graft.functions.NearestCells(col("v"), col("norm"),
-        cents.ids, cents.flat, cents.cns, n)).as("cell_id"))
+    // degenerate quantizer (no centroids — e.g. an empty/tiny corpus):
+    // empty assignment, matching the old broadcast-join shape's output
+    // instead of failing the NearestCells constructor at compose time
+    if (cents.ids.isEmpty)
+      points.select(col(idCol), col("v"), col("norm"),
+        lit(0L).as("cell_id")).where(lit(false))
+    else
+      points.select(col(idCol), col("v"), col("norm"),
+        explode(graft.functions.NearestCells(col("v"), col("norm"),
+          cents.ids, cents.flat, cents.cns, n)).as("cell_id"))
 
   /** The QUERY side of every probe, collected driver-side: the query batch
     * is nQueries rows by contract (tiny and fixed — the same argument that
@@ -390,13 +397,25 @@ object Similarity {
     val bigIds = bigCells.map(_._1).toSeq
     // exhaustive branch: cells under the cap (the SemDeDup contract); the
     // over-cap exclusion is a literal id filter (no filter at all in the
-    // common all-under-cap case — the plan is then census-join-free)
+    // common all-under-cap case — the plan is then census-join-free).
+    // Collect ONE past the cap + loud assert (the degraded branch's
+    // convention): a cell that grew past the cap between the census and
+    // execution (a mutated input directory — outside the immutable-
+    // snapshot contract) fails loudly instead of silently truncating its
+    // membership.
     val smallPairs = pairsOf(
       (if (bigIds.isEmpty) assigned
        else assigned.where(!col("cell_id").isin(bigIds: _*)))
         .groupBy(col("cell_id"))
-        .agg(graft.functions.BoundedCollect.longs(memberCap)(col("vec_id"))
-          .as("ids")))
+        .agg(graft.functions.BoundedCollect.longs(memberCap + 1)(col("vec_id"))
+          .as("ids"))
+        .where(coalesce(
+          assert_true(size(col("ids")) <= memberCap,
+            lit(s"semanticDedupPairs: a census-small cell exceeded the " +
+              s"$memberCap-member cap at execution time — the input " +
+              "changed between compose and action; re-compose over the " +
+              "current snapshot")),
+          lit(true))))
     // degraded branch: over-cap cells sub-bucketed by multi-table LSH;
     // multi-table hits deduped before the verify
     val candidates = if (maxBig == 0L) smallPairs else {

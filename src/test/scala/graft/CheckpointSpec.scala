@@ -29,7 +29,7 @@ class CheckpointSpec extends SparkSpec {
     // with bit-identical stored counts (per-doc violations are independent)
     val dir2 = Files.createTempDirectory("graft-runpsi2").toString
     Checkpoint.storeRunRuleMetricsSplit(docs, cat, dir2,
-      when(parity === 0, "base").otherwise("cur"))
+      when(parity === 0, "base").otherwise("cur"), Seq("base", "cur"))
     val storedSplit = Checkpoint.rulePsiBetweenStoredRuns(spark, dir2, "base", "cur")
     assert(storedSplit.collect().toSeq == onePass.collect().toSeq,
       "split-stored PSI must equal the per-run stored PSI")
@@ -38,6 +38,18 @@ class CheckpointSpec extends SparkSpec {
       Checkpoint.rulePsiBetweenStoredRuns(spark, dir2, "base", "nope")
     }
     assert(e.getMessage.contains("no stored metrics"), e.getMessage)
+    // re-storing a run that now has ZERO violations still truncates its
+    // partition (the marker row forces the dynamic overwrite to write):
+    // PSI must see a genuinely empty current side, not yesterday's counts
+    Checkpoint.storeRunRuleMetrics(docs.where(lit(false)), cat, dir2, "cur")
+    val curStored = graft.engine.TableIO
+      .read(spark, Checkpoint.runMetricsPath(dir2))
+      .where(col("run_id") === "cur")
+    assert(curStored.where(col("rule_id") =!= Checkpoint.RunMarkerRule)
+      .count() == 0, "stale counts survived a violation-free re-store")
+    // and the stored-but-empty run is readable (no missing-run error)
+    assert(Checkpoint.rulePsiBetweenStoredRuns(spark, dir2, "base", "cur")
+      .count() == 1)
   }
 
   test("resume after mid-run failure completes and equals a one-shot run") {
